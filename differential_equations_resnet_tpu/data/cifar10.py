@@ -1,0 +1,84 @@
+"""CIFAR-10 loading (parity with `dataset_utils/cifar10_utils.py:24-80`)."""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import List, Tuple
+
+import numpy as np
+
+
+def unpickle(filename: str) -> dict:
+    with open(filename, "rb") as f:
+        return pickle.load(f, encoding="bytes")
+
+
+def build_cifar10_dataset(
+    cifar10_directory: str,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, List[str]]:
+    """Load the Python-pickle CIFAR-10 release and return
+    (train_images (50000,32,32,3) uint8, train_labels (50000,),
+     test_images (10000,32,32,3), test_labels (10000,), label_names).
+
+    Identical semantics to the reference loader: (N,3072) CHW-packed rows are
+    reshaped to (N,3,32,32) and transposed to NHWC."""
+    train_pickle_filenames = [f"data_batch_{i}" for i in range(1, 6)]
+
+    train_images, train_labels = [], []
+    for filename in train_pickle_filenames:
+        d = unpickle(os.path.join(cifar10_directory, filename))
+        train_images.append(d[b"data"])
+        train_labels.append(d[b"labels"])
+    train_images = np.concatenate(train_images, axis=0)
+    train_labels = np.concatenate(train_labels, axis=0)
+
+    d = unpickle(os.path.join(cifar10_directory, "test_batch"))
+    test_images = d[b"data"]
+    test_labels = np.asarray(d[b"labels"])
+
+    train_images = np.transpose(train_images.reshape(50000, 3, 32, 32), (0, 2, 3, 1))
+    test_images = np.transpose(
+        np.asarray(test_images).reshape(10000, 3, 32, 32), (0, 2, 3, 1)
+    )
+
+    d = unpickle(os.path.join(cifar10_directory, "batches.meta"))
+    label_names = [str(b, "utf-8") for b in d[b"label_names"]]
+
+    return train_images, train_labels, test_images, test_labels, label_names
+
+
+def synthetic_cifar10(
+    num_train: int = 50000, num_test: int = 10000, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, List[str]]:
+    """Deterministic CIFAR-10-shaped synthetic data (class-dependent means +
+    noise, linearly separable enough for smoke training) — used for tests and
+    benchmarks when the real dataset is not on disk (zero-egress hosts)."""
+    rng = np.random.default_rng(seed)
+
+    def make(n):
+        labels = rng.integers(0, 10, size=(n,), dtype=np.int64)
+        base = (labels[:, None, None, None] * 25 + 5).astype(np.float32)
+        noise = rng.normal(0.0, 24.0, size=(n, 32, 32, 3)).astype(np.float32)
+        images = np.clip(base + noise, 0, 255).astype(np.uint8)
+        return images, labels
+
+    train_images, train_labels = make(num_train)
+    test_images, test_labels = make(num_test)
+    label_names = [f"class_{i}" for i in range(10)]
+    return train_images, train_labels, test_images, test_labels, label_names
+
+
+def find_cifar10_directory() -> str | None:
+    """Look in the usual places for an extracted cifar-10-batches-py."""
+    candidates = [
+        os.environ.get("CIFAR10_DIR"),
+        "/root/data/cifar-10-batches-py",
+        "/root/datasets/cifar-10-batches-py",
+        os.path.expanduser("~/data/cifar-10-batches-py"),
+        "./cifar-10-batches-py",
+    ]
+    for path in candidates:
+        if path and os.path.isfile(os.path.join(path, "data_batch_1")):
+            return path
+    return None

@@ -1,0 +1,404 @@
+"""Single-block ODE-ResNets: one conv per residual block, interpreted as L
+explicit integrator steps of dY/dt = sigma(K(t)Y + b) with step size h.
+
+Functional rebuild of `models/tfkeras_resnets.py:427-604`
+(`build_single_block_resnet` / `get_single_block_resnet_build_function` /
+`single_layer_identity_block` / `single_layer_conv_block`), with the depth
+dimension run as one `lax.scan` over stacked per-layer parameters (TPU-first:
+a single traced block body regardless of L, optional remat) and the choice of
+integrator (euler = the reference block, midpoint, rk4) as a config knob.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from differential_equations_resnet_tpu.models.blocks import (
+    BatchNormParams,
+    BatchNormState,
+    ConvParams,
+    DenseParams,
+    apply_fc_activation,
+    batch_norm,
+    dense,
+    global_average_pool,
+    init_batch_norm,
+    init_conv,
+    init_dense,
+    max_pool_2x2,
+)
+from differential_equations_resnet_tpu.ops.antisymmetric import (
+    Antisym3x3Params,
+    init_antisym_3x3,
+)
+from differential_equations_resnet_tpu.ops.conv import antisym_conv2d_3x3, conv2d_same
+from differential_equations_resnet_tpu.ops.integrators import integrate
+
+
+@dataclasses.dataclass(frozen=True)
+class SingleBlockResNetConfig:
+    """Mirrors the keyword surface of
+    `models/tfkeras_resnets.py:511-527` plus TPU-native knobs
+    (integrator, remat, compute_dtype)."""
+
+    image_shape: Tuple[int, int, int] = (32, 32, 3)
+    kernel_type: str = "antisymmetric"  # 'antisymmetric' | 'regular'
+    kernel_size: int = 3
+    h: float = 1.0
+    gamma: float = 0.0
+    num_stages: int = 5
+    blocks_per_stage: Tuple[int, ...] = (3, 4, 6, 3)
+    filters_per_block: Tuple[int, ...] = (64, 128, 256, 512)
+    strides: Tuple[Tuple[int, int], ...] = ((2, 2), (2, 2), (2, 2), (2, 2))
+    include_top: bool = True
+    fc_activation: Optional[str] = "softmax"
+    num_classes: Optional[int] = None
+    use_batch_norm: bool = False
+    use_max_pooling: Tuple[bool, ...] = (False, False, False, False)
+    l2_regularization: float = 0.0
+    subtract_mean: Optional[Any] = None
+    divide_by_stddev: Optional[Any] = None
+    # --- TPU-native extensions (not in the reference) ---
+    integrator: str = "euler"   # 'euler' | 'midpoint' | 'rk4'
+    remat: bool = False
+    compute_dtype: Any = jnp.float32
+    use_pallas: bool = False    # fused Pallas integrator for the scan stages
+
+    def __post_init__(self):
+        if self.include_top and self.num_classes is None:
+            raise ValueError(
+                "You must pass a positive integer for `num_classes` if "
+                "`include_top` is `True`."
+            )
+        if self.kernel_type not in ("antisymmetric", "regular"):
+            raise ValueError(f"Unknown kernel_type {self.kernel_type!r}.")
+        if self.integrator != "euler" and self.use_batch_norm:
+            raise ValueError(
+                "midpoint/rk4 integrators require use_batch_norm=False (the "
+                "block must be a pure ODE field)."
+            )
+        if self.kernel_type == "antisymmetric" and self.kernel_size != 3:
+            raise ValueError(
+                "The antisymmetric kernel path is specialized to 3x3 "
+                "(reference layers/tfkeras_layer_Conv2DAntisymmetric3By3.py)."
+            )
+
+    @property
+    def name(self) -> str:
+        return f"single_block_resnet_{self.kernel_type}"
+
+
+def cifar10_single_block_config(
+    num_layers: int = 64,
+    final_time: float = 8.0,
+    num_filters: int = 16,
+    kernel_type: str = "antisymmetric",
+    gamma: float = 0.0,
+    **overrides,
+) -> SingleBlockResNetConfig:
+    """The headline CIFAR-10 experiment configuration
+    (experiments_antisymmetric_resnet_v7.ipynb cells 1 & 5): 64 layers,
+    h = final_time / num_layers, 16 filters, input scaled by 127.5."""
+    return SingleBlockResNetConfig(
+        image_shape=(32, 32, 3),
+        kernel_type=kernel_type,
+        kernel_size=3,
+        h=final_time / num_layers,
+        gamma=gamma,
+        num_stages=2,
+        blocks_per_stage=(num_layers,),
+        filters_per_block=(num_filters,),
+        strides=((1, 1),),
+        include_top=True,
+        fc_activation="softmax",
+        num_classes=10,
+        use_batch_norm=False,
+        use_max_pooling=(False, False, False, False),
+        subtract_mean=127.5,
+        divide_by_stddev=127.5,
+        **overrides,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class _StagePlan:
+    pool: bool
+    has_conv_block: bool
+    num_identity: int
+    filters: int
+    strides: Tuple[int, int]
+    in_channels: int
+
+
+def stage_plans(config: SingleBlockResNetConfig) -> Tuple[_StagePlan, ...]:
+    """Static per-stage structure, reproducing the identity-vs-conv-block
+    decision logic of `models/tfkeras_resnets.py:575-593`."""
+    plans = []
+    channels = config.filters_per_block[0]
+    for s in range(config.num_stages - 1):
+        pool = bool(config.use_max_pooling[s])
+        filters = config.filters_per_block[s]
+        strides = tuple(config.strides[s])
+        identity_only = ((s == 0) and not pool) or (
+            not pool
+            and config.filters_per_block[s] == config.filters_per_block[s - 1]
+            and strides == (1, 1)
+        )
+        if identity_only:
+            plans.append(
+                _StagePlan(pool, False, config.blocks_per_stage[s], channels, strides, channels)
+            )
+        else:
+            plans.append(
+                _StagePlan(
+                    pool, True, config.blocks_per_stage[s] - 1, filters, strides, channels
+                )
+            )
+            channels = filters
+    return tuple(plans)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _init_identity_blocks(key, config, num_blocks, channels, dtype):
+    """Stacked (L, ...) parameters for a run of identical residual blocks."""
+    if num_blocks == 0:
+        return None, None, None
+    keys = jax.random.split(key, num_blocks)
+    if config.kernel_type == "antisymmetric":
+        blocks = jax.vmap(lambda k: init_antisym_3x3(k, channels, dtype=dtype))(keys)
+    else:
+        ks = (config.kernel_size, config.kernel_size)
+        blocks = jax.vmap(lambda k: init_conv(k, ks, channels, channels, dtype=dtype))(keys)
+    bn_params = bn_state = None
+    if config.use_batch_norm:
+        p1, s1 = init_batch_norm(channels, dtype)
+        bn_params = jax.tree.map(lambda x: jnp.tile(x, (num_blocks, 1)), p1)
+        bn_state = jax.tree.map(lambda x: jnp.tile(x, (num_blocks, 1)), s1)
+    return blocks, bn_params, bn_state
+
+
+def init_single_block_resnet(key: jax.Array, config: SingleBlockResNetConfig):
+    """Returns (params, state) pytrees.  ``state`` carries BatchNorm running
+    statistics and is empty when ``use_batch_norm=False``."""
+    dtype = jnp.float32
+    plans = stage_plans(config)
+    n_keys = 2 + 2 * len(plans)
+    keys = jax.random.split(key, n_keys)
+    k_iter = iter(keys)
+
+    ks = (config.kernel_size, config.kernel_size)
+    params = {
+        "stem": init_conv(
+            next(k_iter), ks, config.image_shape[-1], config.filters_per_block[0], dtype=dtype
+        )
+    }
+    state = {}
+    if config.use_batch_norm:
+        params["stem_bn"], state["stem_bn"] = init_batch_norm(
+            config.filters_per_block[0], dtype
+        )
+
+    stage_params, stage_state = [], []
+    for plan in plans:
+        sp, ss = {}, {}
+        if plan.has_conv_block:
+            kc = jax.random.split(next(k_iter), 2)
+            sp["conv_main"] = init_conv(kc[0], ks, plan.in_channels, plan.filters, dtype=dtype)
+            sp["conv_shortcut"] = init_conv(
+                kc[1], (1, 1), plan.in_channels, plan.filters, dtype=dtype
+            )
+            if config.use_batch_norm:
+                sp["bn_main"], ss["bn_main"] = init_batch_norm(plan.filters, dtype)
+                sp["bn_shortcut"], ss["bn_shortcut"] = init_batch_norm(plan.filters, dtype)
+        blocks, bn_p, bn_s = _init_identity_blocks(
+            next(k_iter), config, plan.num_identity, plan.filters, dtype
+        )
+        sp["blocks"] = blocks
+        if bn_p is not None:
+            sp["blocks_bn"] = bn_p
+            ss["blocks_bn"] = bn_s
+        stage_params.append(sp)
+        stage_state.append(ss)
+    params["stages"] = stage_params
+    state["stages"] = stage_state
+
+    if config.include_top:
+        final_channels = plans[-1].filters if plans else config.filters_per_block[0]
+        params["head"] = init_dense(next(k_iter), final_channels, config.num_classes, dtype)
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _block_field(config: SingleBlockResNetConfig):
+    """The ODE field f(y, theta) = relu(conv(y, K(theta)) + b) — the shared
+    body of every identity block (reference single_layer_identity_block,
+    models/tfkeras_resnets.py:69-92, with use_batch_norm=False)."""
+    if config.kernel_type == "antisymmetric":
+
+        def field(y, p: Antisym3x3Params):
+            return jax.nn.relu(antisym_conv2d_3x3(y, p, gamma=config.gamma))
+
+    else:
+
+        def field(y, p: ConvParams):
+            return jax.nn.relu(conv2d_same(y, p.kernel, bias=p.bias))
+
+    return field
+
+
+def _apply_identity_blocks(x, sp, ss, config, train):
+    """Run a stage's stack of identity blocks as one scan."""
+    blocks = sp["blocks"]
+    if blocks is None:
+        return x, {}
+    if not config.use_batch_norm:
+        if config.use_pallas and _pallas_eligible(config, x, blocks):
+            from differential_equations_resnet_tpu.ops.pallas import fused_euler_3x3
+
+            return fused_euler_3x3(x, blocks, config.h, config.gamma), {}
+        y = integrate(
+            _block_field(config),
+            x,
+            blocks,
+            config.h,
+            method=config.integrator,
+            remat=config.remat,
+        )
+        return y, {}
+
+    # Euler with per-block BatchNorm: conv -> BN -> relu -> h* -> add.
+    def body(y, inputs):
+        p, bn_p, bn_s = inputs
+        if config.kernel_type == "antisymmetric":
+            z = antisym_conv2d_3x3(y, p, gamma=config.gamma)
+        else:
+            z = conv2d_same(y, p.kernel, bias=p.bias)
+        z, new_bn_s = batch_norm(z, bn_p, bn_s, train)
+        return y + config.h * jax.nn.relu(z), new_bn_s
+
+    body = jax.checkpoint(body) if config.remat else body
+    y, new_states = jax.lax.scan(body, x, (blocks, sp["blocks_bn"], ss["blocks_bn"]))
+    return y, {"blocks_bn": new_states}
+
+
+def _pallas_eligible(config, x, blocks) -> bool:
+    from differential_equations_resnet_tpu.ops.pallas import fused_euler_eligible
+
+    return (
+        config.kernel_type == "antisymmetric"
+        and config.integrator == "euler"
+        and fused_euler_eligible(x, blocks)
+    )
+
+
+def _apply_conv_block(x, sp, ss, config, train):
+    """single_layer_conv_block (models/tfkeras_resnets.py:204-269):
+    main = relu(BN(conv_kxk(x, stride))); shortcut = BN(conv_1x1(x, stride));
+    out = main + shortcut."""
+    new_ss = {}
+    main = conv2d_same(
+        x, sp["conv_main"].kernel, strides=sp_strides(sp), bias=sp["conv_main"].bias
+    )
+    shortcut = conv2d_same(
+        x, sp["conv_shortcut"].kernel, strides=sp_strides(sp), bias=sp["conv_shortcut"].bias
+    )
+    if config.use_batch_norm:
+        main, new_ss["bn_main"] = batch_norm(main, sp["bn_main"], ss["bn_main"], train)
+        shortcut, new_ss["bn_shortcut"] = batch_norm(
+            shortcut, sp["bn_shortcut"], ss["bn_shortcut"], train
+        )
+    return jax.nn.relu(main) + shortcut, new_ss
+
+
+def sp_strides(sp):
+    # Strides are static per stage; stashed on the params dict at apply time.
+    return sp["_strides"]
+
+
+def apply_single_block_resnet(
+    params,
+    state,
+    x: jax.Array,
+    config: SingleBlockResNetConfig,
+    train: bool = False,
+    return_logits: bool = False,
+):
+    """Forward pass.  Returns (output, new_state).
+
+    ``return_logits=True`` skips the final fc_activation (softmax) so losses
+    can be computed from logits; with ``False`` the output matches the
+    reference model's `model.output` (softmax probabilities)."""
+    plans = stage_plans(config)
+    x = x.astype(config.compute_dtype)
+    if config.subtract_mean is not None:
+        x = x - jnp.asarray(config.subtract_mean, x.dtype)
+    if config.divide_by_stddev is not None:
+        x = x / jnp.asarray(config.divide_by_stddev, x.dtype)
+
+    new_state = {"stages": []}
+    x = conv2d_same(
+        x, params["stem"].kernel, strides=tuple(config.strides[0]), bias=params["stem"].bias
+    )
+    if config.use_batch_norm:
+        x, new_state["stem_bn"] = batch_norm(x, params["stem_bn"], state["stem_bn"], train)
+    x = jax.nn.relu(x)
+
+    for plan, sp, ss in zip(plans, params["stages"], state["stages"]):
+        stage_new_ss = {}
+        if plan.pool:
+            x = max_pool_2x2(x)
+        if plan.has_conv_block:
+            sp = dict(sp, _strides=plan.strides)
+            x, conv_ss = _apply_conv_block(x, sp, ss, config, train)
+            stage_new_ss.update(conv_ss)
+        x, blocks_ss = _apply_identity_blocks(x, sp, ss, config, train)
+        stage_new_ss.update(blocks_ss)
+        new_state["stages"].append(stage_new_ss)
+
+    if config.include_top:
+        x = global_average_pool(x)
+        x = dense(x.astype(jnp.float32), params["head"])
+        if not return_logits:
+            x = apply_fc_activation(x, config.fc_activation)
+    if not config.use_batch_norm:
+        new_state = state
+    return x, new_state
+
+
+class SingleBlockResNet:
+    """Thin convenience wrapper bundling (config, init, apply) — the
+    functional analogue of the reference's Keras `Model` object."""
+
+    def __init__(self, config: SingleBlockResNetConfig):
+        self.config = config
+
+    def init(self, key: jax.Array):
+        return init_single_block_resnet(key, self.config)
+
+    def apply(self, params, state, x, train=False, return_logits=False):
+        return apply_single_block_resnet(
+            params, state, x, self.config, train=train, return_logits=return_logits
+        )
+
+    @property
+    def name(self) -> str:
+        return self.config.name
+
+
+def build_single_block_resnet(config: SingleBlockResNetConfig) -> SingleBlockResNet:
+    """API-parity constructor (reference `build_single_block_resnet`,
+    models/tfkeras_resnets.py:427-509)."""
+    return SingleBlockResNet(config)

@@ -1,0 +1,27 @@
+"""Core compute ops: packed antisymmetric kernels, convs, ODE integrators."""
+
+from differential_equations_resnet_tpu.ops.antisymmetric import (  # noqa: F401
+    Antisym3x3Params,
+    AntisymKxKParams,
+    cross_pair_indices,
+    he_truncated_normal,
+    init_antisym_3x3,
+    init_antisym_kxk,
+    materialize_3x3,
+    materialize_kxk,
+    num_cross_pairs,
+    num_diag_free,
+    pack_3x3,
+)
+from differential_equations_resnet_tpu.ops.conv import (  # noqa: F401
+    antisym_conv2d_3x3,
+    conv2d_same,
+)
+from differential_equations_resnet_tpu.ops.integrators import (  # noqa: F401
+    INTEGRATOR_STAGES,
+    euler_step,
+    get_integrator,
+    integrate,
+    midpoint_step,
+    rk4_step,
+)

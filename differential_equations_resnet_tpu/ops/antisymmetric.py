@@ -1,0 +1,281 @@
+"""Packed (anti-)centrosymmetric convolution kernels.
+
+The stability result of Haber & Ruthotto (arXiv:1705.03341) requires the
+doubly-blocked Toeplitz convolution *matrix* M of a stride-1, zero-padded
+("SAME") convolution to be antisymmetric up to a diagonal shift:
+``M = A + gamma*I`` with ``A^T = -A``.  In kernel space this is equivalent to
+the 4-D kernel ``K`` (layout HWIO: height, width, c_in, c_out) satisfying
+
+    K[:, :, i, j] == -rot180(K[:, :, j, i])        for all channel pairs (i, j),
+
+with the spatial center of every diagonal block pinned to the constant
+``gamma`` (the real part of every eigenvalue of M).
+
+The reference implementation
+(`/root/reference/layers/tfkeras_layer_Conv2DAntisymmetric3By3.py:85-155` and
+`/root/reference/layers/tfkeras_layer_Conv2DAntisymmetric.py:90-159`) builds
+such kernels out of O(C) TF variables and O(C^2) concat/stack graph nodes per
+layer, which made both graph construction (~1.3 s / layer) and every forward
+pass (~40x slowdown) pathologically slow.  Here the *free* degrees of freedom
+live in a small packed pytree and the dense kernel is materialized on demand
+by one vectorized scatter — a few-microsecond operation that XLA fuses into
+the surrounding computation, and whose VJP (a gather + fold-back of the
+mirrored gradient) is derived automatically.
+
+Free parameterization of the 3x3 specialization (matching the reference's
+degrees of freedom exactly; reference `:210-293`):
+
+- diagonal blocks (i == i):  per-channel vectors a, b, c, d, arranged
+
+      [[ a,  b,  c],
+       [ d,  g, -d],
+       [-c, -b, -a]]        with g = gamma (constant, non-trainable),
+
+- strictly "lower" channel pairs (c_in > c_out): free 3x3 kernels, packed as
+  ``cross`` of shape (3, 3, C*(C-1)//2), ordered by (c_out ascending, then
+  c_in ascending) to match the reference's per-output-channel independent
+  kernels (reference `:115-139`),
+
+- the remaining (c_in < c_out) blocks are the dependent mirrors
+  ``-rot180(cross)``.
+
+Total trainable parameters: ``4*C + 9*C*(C-1)/2 (+ C bias)`` — identical to
+the reference layer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class Antisym3x3Params(NamedTuple):
+    """Packed free parameters of a 3x3 antisymmetric conv (optionally with a
+    leading stacked-layer axis ``(L, ...)`` for `lax.scan` integration)."""
+
+    a: jax.Array            # (..., C)
+    b: jax.Array            # (..., C)
+    c: jax.Array            # (..., C)
+    d: jax.Array            # (..., C)
+    cross: jax.Array        # (..., 3, 3, C*(C-1)//2)
+    bias: Optional[jax.Array] = None  # (..., C) or None
+
+
+class AntisymKxKParams(NamedTuple):
+    """Packed free parameters of the general k x k (anti-)centrosymmetric conv
+    (reference `layers/tfkeras_layer_Conv2DAntisymmetric.py`)."""
+
+    diag: jax.Array         # (..., n_diag_free, C)
+    cross: jax.Array        # (..., k, k, C*(C-1)//2)
+    bias: Optional[jax.Array] = None  # (..., C) or None
+
+
+def num_cross_pairs(channels: int) -> int:
+    return channels * (channels - 1) // 2
+
+
+@functools.lru_cache(maxsize=None)
+def cross_pair_indices(channels: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(c_in, c_out) index arrays of the free cross-channel blocks.
+
+    Ordered by c_out ascending then c_in ascending, matching the reference's
+    flattening of per-output-channel independent kernels
+    (`layers/tfkeras_layer_Conv2DAntisymmetric3By3.py:115-124`).
+    """
+    pairs = [(i, j) for j in range(channels) for i in range(j + 1, channels)]
+    if not pairs:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    arr = np.asarray(pairs, dtype=np.int32)
+    return arr[:, 0], arr[:, 1]
+
+
+def he_truncated_normal(key: jax.Array, shape, fan_in: int, dtype=jnp.float32) -> jax.Array:
+    """He-style truncated-normal init: N(0, 2/fan_in) truncated at 2 stddev.
+
+    Matches the reference init
+    (`layers/tfkeras_layer_Conv2DAntisymmetric3By3.py:95-98`):
+    ``tf.initializers.truncated_normal(stddev=sqrt(2/(3*3*C)))``.
+    """
+    stddev = np.sqrt(2.0 / float(fan_in))
+    return (stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape)).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# 3x3 specialization
+# ---------------------------------------------------------------------------
+
+
+def init_antisym_3x3(
+    key: jax.Array,
+    channels: int,
+    use_bias: bool = True,
+    dtype=jnp.float32,
+) -> Antisym3x3Params:
+    """Initialize packed parameters; each free scalar is He-truncated-normal
+    with fan_in = 9*C, bias zero — per the reference layer's `build`."""
+    fan_in = 9 * channels
+    ka, kb, kc, kd, kx = jax.random.split(key, 5)
+    p = num_cross_pairs(channels)
+    return Antisym3x3Params(
+        a=he_truncated_normal(ka, (channels,), fan_in, dtype),
+        b=he_truncated_normal(kb, (channels,), fan_in, dtype),
+        c=he_truncated_normal(kc, (channels,), fan_in, dtype),
+        d=he_truncated_normal(kd, (channels,), fan_in, dtype),
+        cross=he_truncated_normal(kx, (3, 3, p), fan_in, dtype),
+        bias=jnp.zeros((channels,), dtype) if use_bias else None,
+    )
+
+
+def materialize_3x3(params: Antisym3x3Params, gamma: float = 0.0) -> jax.Array:
+    """Packed params -> dense (3, 3, C, C) HWIO kernel.
+
+    One diagonal write + two static-index scatters; the mirror blocks are
+    ``-rot180`` of the free blocks.  Semantics identical to the reference's
+    per-channel assembly loop
+    (`layers/tfkeras_layer_Conv2DAntisymmetric3By3.py:111-141`).
+    """
+    a, b, c, d = params.a, params.b, params.c, params.d
+    channels = a.shape[-1]
+    g = jnp.full_like(a, gamma)
+    # (3, 3, C) diagonal blocks: [[a, b, c], [d, g, -d], [-c, -b, -a]]
+    diag = jnp.stack(
+        [
+            jnp.stack([a, b, c]),
+            jnp.stack([d, g, -d]),
+            jnp.stack([-c, -b, -a]),
+        ]
+    )
+    kernel = jnp.zeros((3, 3, channels, channels), dtype=a.dtype)
+    idx = jnp.arange(channels)
+    kernel = kernel.at[:, :, idx, idx].set(diag)
+    c_in, c_out = cross_pair_indices(channels)
+    if c_in.size:
+        kernel = kernel.at[:, :, c_in, c_out].set(params.cross)
+        kernel = kernel.at[:, :, c_out, c_in].set(-params.cross[::-1, ::-1, :])
+    return kernel
+
+
+def pack_3x3(kernel: jax.Array, bias: Optional[jax.Array] = None) -> Antisym3x3Params:
+    """Inverse of :func:`materialize_3x3` (up to the constant gamma center):
+    extract the packed free parameters from a dense (3, 3, C, C) kernel.
+
+    Used for weight surgery and parity checks against reference kernels."""
+    channels = kernel.shape[-1]
+    idx = jnp.arange(channels)
+    diag = kernel[:, :, idx, idx]  # (3, 3, C)
+    c_in, c_out = cross_pair_indices(channels)
+    return Antisym3x3Params(
+        a=diag[0, 0],
+        b=diag[0, 1],
+        c=diag[0, 2],
+        d=diag[1, 0],
+        cross=kernel[:, :, c_in, c_out],
+        bias=bias,
+    )
+
+
+# ---------------------------------------------------------------------------
+# General k x k (anti-)centrosymmetric kernels
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _diag_layout(kernel_size: int, antisymmetric: bool):
+    """Static layout of a k x k (anti-)centrosymmetric matrix's free entries.
+
+    Mirrors the free-variable predicate of the reference
+    (`layers/tfkeras_layer_Conv2DAntisymmetric.py:231-243`): entry (i, j) of
+    the upper half (j >= i) is free if ``j > i`` or ``j == i and
+    i <= k//2 - 1``; its mirror is (k-1-i, k-1-j) with sign -1 (antisymmetric)
+    or +1 (centrosymmetric).  For odd k, the center is the constant gamma in
+    the antisymmetric case and one extra free entry otherwise.
+
+    Returns (free_flat, mirror_flat, center_flat_or_None) as flat k*k indices.
+    """
+    free, mirror = [], []
+    center = None
+    for i in range(kernel_size):
+        for j in range(i, kernel_size):
+            if j > i or (j == i and i <= kernel_size // 2 - 1):
+                free.append(i * kernel_size + j)
+                mirror.append(
+                    (kernel_size - 1 - i) * kernel_size + (kernel_size - 1 - j)
+                )
+            elif j == i and i == kernel_size // 2 and kernel_size % 2 == 1:
+                if antisymmetric:
+                    center = i * kernel_size + j
+                else:
+                    # Trainable center, consumed in the reference's iteration
+                    # order (`layers/tfkeras_layer_Conv2DAntisymmetric.py:258-264`).
+                    free.append(i * kernel_size + j)
+                    mirror.append(i * kernel_size + j)
+    return (
+        np.asarray(free, np.int32),
+        np.asarray(mirror, np.int32),
+        center,
+    )
+
+
+def num_diag_free(kernel_size: int, antisymmetric: bool = True) -> int:
+    """Free entries per diagonal (per-channel) spatial block."""
+    free, _, _ = _diag_layout(kernel_size, antisymmetric)
+    return int(free.size)
+
+
+def init_antisym_kxk(
+    key: jax.Array,
+    kernel_size: int,
+    channels: int,
+    antisymmetric: bool = True,
+    use_bias: bool = True,
+    dtype=jnp.float32,
+) -> AntisymKxKParams:
+    fan_in = kernel_size * kernel_size * channels
+    kd, kx = jax.random.split(key)
+    n_free = num_diag_free(kernel_size, antisymmetric)
+    p = num_cross_pairs(channels)
+    return AntisymKxKParams(
+        diag=he_truncated_normal(kd, (n_free, channels), fan_in, dtype),
+        cross=he_truncated_normal(kx, (kernel_size, kernel_size, p), fan_in, dtype),
+        bias=jnp.zeros((channels,), dtype) if use_bias else None,
+    )
+
+
+def materialize_kxk(
+    params: AntisymKxKParams,
+    kernel_size: int,
+    gamma: float = 0.0,
+    antisymmetric: bool = True,
+) -> jax.Array:
+    """Packed params -> dense (k, k, C, C) HWIO kernel.
+
+    Diagonal blocks are (anti-)centrosymmetric per the ``antisymmetric`` flag;
+    cross-channel mirror blocks are always ``-rot180`` of the free blocks,
+    matching the reference's general layer where the exchange-matrix transform
+    is applied unconditionally
+    (`layers/tfkeras_layer_Conv2DAntisymmetric.py:139`).
+    """
+    k = kernel_size
+    channels = params.diag.shape[-1]
+    sign = -1.0 if antisymmetric else 1.0
+    free_idx, mirror_idx, center_idx = _diag_layout(k, antisymmetric)
+
+    flat = jnp.zeros((k * k, channels), dtype=params.diag.dtype)
+    flat = flat.at[free_idx, :].set(params.diag)
+    flat = flat.at[mirror_idx, :].set(sign * params.diag)
+    if center_idx is not None:
+        flat = flat.at[center_idx, :].set(gamma)
+    diag = flat.reshape(k, k, channels)
+
+    kernel = jnp.zeros((k, k, channels, channels), dtype=params.diag.dtype)
+    idx = jnp.arange(channels)
+    kernel = kernel.at[:, :, idx, idx].set(diag)
+    c_in, c_out = cross_pair_indices(channels)
+    if c_in.size:
+        kernel = kernel.at[:, :, c_in, c_out].set(params.cross)
+        kernel = kernel.at[:, :, c_out, c_in].set(-params.cross[::-1, ::-1, :])
+    return kernel

@@ -1,0 +1,79 @@
+"""Convolution wrappers (NHWC / HWIO), the TPU-native replacement for the
+reference's `tf.nn.conv2d` calls
+(`layers/tfkeras_layer_Conv2DAntisymmetric3By3.py:157-171`).
+
+All convs are expressed through `lax.conv_general_dilated`, which XLA lowers
+onto the MXU; the antisymmetric variant materializes the dense kernel from the
+packed parameters inline so that XLA fuses the scatter into the conv's operand
+producer instead of re-executing a many-node assembly subgraph per step (the
+reference's central performance pathology).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from differential_equations_resnet_tpu.ops.antisymmetric import (
+    Antisym3x3Params,
+    materialize_3x3,
+)
+
+DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d_same(
+    x: jax.Array,
+    kernel: jax.Array,
+    strides: Tuple[int, int] = (1, 1),
+    bias: Optional[jax.Array] = None,
+    preferred_element_type=None,
+) -> jax.Array:
+    """2-D convolution, NHWC input, HWIO kernel, zero ("SAME") padding."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=strides,
+        padding="SAME",
+        dimension_numbers=DIMENSION_NUMBERS,
+        preferred_element_type=preferred_element_type,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def conv2d_valid(
+    x: jax.Array,
+    kernel: jax.Array,
+    strides: Tuple[int, int] = (1, 1),
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """2-D convolution with VALID padding (used by the bottleneck stem after
+    explicit ZeroPadding, reference `models/tfkeras_resnets.py:775-787`)."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=strides,
+        padding="VALID",
+        dimension_numbers=DIMENSION_NUMBERS,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def antisym_conv2d_3x3(
+    x: jax.Array,
+    params: Antisym3x3Params,
+    gamma: float = 0.0,
+    strides: Tuple[int, int] = (1, 1),
+) -> jax.Array:
+    """Antisymmetric 3x3 conv: materialize K from packed params, conv, + bias.
+
+    Functional equivalent of `Conv2DAntisymmetric3By3.call`
+    (`layers/tfkeras_layer_Conv2DAntisymmetric3By3.py:157-171`)."""
+    kernel = materialize_3x3(params, gamma)
+    return conv2d_same(x, kernel, strides=strides, bias=params.bias)

@@ -1,0 +1,229 @@
+"""Property and parity tests for the packed antisymmetric kernels
+(test strategy per SURVEY.md section 4: skew-centrosymmetry, channel
+antisymmetry, gamma center, Toeplitz conv-matrix antisymmetry, and parity
+with a loop-level NumPy re-execution of the reference algorithm)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from differential_equations_resnet_tpu.ops import (
+    Antisym3x3Params,
+    cross_pair_indices,
+    init_antisym_3x3,
+    init_antisym_kxk,
+    materialize_3x3,
+    materialize_kxk,
+    num_cross_pairs,
+    num_diag_free,
+    pack_3x3,
+)
+from tests.reference_numpy import (
+    conv_matrix,
+    reference_antisym_3x3_kernel,
+    reference_centrosym_matrix,
+    rot180,
+)
+
+
+def rot180_hwio(k):
+    return k[::-1, ::-1]
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 8, 16])
+def test_materialize_3x3_shapes_and_param_count(channels):
+    params = init_antisym_3x3(jax.random.key(0), channels)
+    kernel = materialize_3x3(params)
+    assert kernel.shape == (3, 3, channels, channels)
+    # Trainable DOF must match the reference layer exactly:
+    # a, b, c, d (C each) + 9 * C(C-1)/2 cross + C bias.
+    n = sum(x.size for x in jax.tree.leaves(params))
+    assert n == 4 * channels + 9 * num_cross_pairs(channels) + channels
+
+
+@pytest.mark.parametrize("gamma", [0.0, 0.3])
+def test_channel_antisymmetry(gamma):
+    channels = 16
+    params = init_antisym_3x3(jax.random.key(1), channels)
+    kernel = np.asarray(materialize_3x3(params, gamma=gamma))
+    center = np.zeros((3, 3))
+    center[1, 1] = 1.0
+    for i in range(channels):
+        for j in range(channels):
+            expected = -rot180(kernel[:, :, j, i])
+            if i == j:
+                expected = expected + 2.0 * gamma * center
+            np.testing.assert_allclose(kernel[:, :, i, j], expected, atol=1e-6)
+
+
+def test_center_element_is_gamma_and_nontrainable():
+    channels = 4
+    params = init_antisym_3x3(jax.random.key(2), channels)
+    gamma = 0.7
+    kernel = materialize_3x3(params, gamma=gamma)
+    np.testing.assert_allclose(
+        np.asarray(kernel[1, 1, np.arange(channels), np.arange(channels)]),
+        gamma,
+    )
+    # gamma enters as a constant: the gradient of the center w.r.t. the packed
+    # params must be zero (reference keeps `e` non-trainable, layer :247-259).
+    grads = jax.grad(
+        lambda p: jnp.sum(materialize_3x3(p, gamma=gamma)[1, 1, 0, 0])
+    )(params)
+    assert all(np.allclose(np.asarray(g), 0.0) for g in jax.tree.leaves(grads))
+
+
+def test_parity_with_reference_numpy_assembly():
+    """The vectorized scatter must reproduce the reference's per-channel
+    assembly loop bit-for-bit."""
+    channels, gamma = 8, 0.1
+    params = init_antisym_3x3(jax.random.key(3), channels)
+    c_in, c_out = cross_pair_indices(channels)
+    cross_np = np.asarray(params.cross)
+    blocks = {
+        (int(i), int(j)): cross_np[:, :, p]
+        for p, (i, j) in enumerate(zip(c_in, c_out))
+    }
+    expected = reference_antisym_3x3_kernel(
+        np.asarray(params.a),
+        np.asarray(params.b),
+        np.asarray(params.c),
+        np.asarray(params.d),
+        blocks,
+        gamma,
+    )
+    np.testing.assert_allclose(
+        np.asarray(materialize_3x3(params, gamma=gamma)), expected, atol=0
+    )
+
+
+@pytest.mark.parametrize("channels,gamma", [(2, 0.0), (3, 0.25)])
+def test_conv_matrix_antisymmetry(channels, gamma):
+    """M + M^T == 2*gamma*I for the materialized Toeplitz conv matrix — the
+    defining stability property (arXiv:1705.03341; reference layer docstring).
+    Also pins the real part of every eigenvalue of M to gamma."""
+    height = width = 4
+    params = init_antisym_3x3(jax.random.key(4), channels)
+    kernel = materialize_3x3(params, gamma=gamma)
+    m = conv_matrix(kernel, height, width, channels)
+    np.testing.assert_allclose(
+        m + m.T, 2.0 * gamma * np.eye(m.shape[0]), atol=1e-5
+    )
+    eig_real = np.real(np.linalg.eigvals(m.astype(np.float64)))
+    np.testing.assert_allclose(eig_real, gamma, atol=1e-5)
+
+
+def test_pack_materialize_roundtrip():
+    channels = 6
+    params = init_antisym_3x3(jax.random.key(5), channels)
+    kernel = materialize_3x3(params, gamma=0.0)
+    packed = pack_3x3(kernel, params.bias)
+    for got, want in zip(jax.tree.leaves(packed), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+
+
+def test_he_init_statistics():
+    channels = 256
+    params = init_antisym_3x3(jax.random.key(6), channels)
+    stddev = np.sqrt(2.0 / (9 * channels))
+    cross = np.asarray(params.cross)
+    assert abs(cross.std() - 0.88 * stddev) < 0.05 * stddev  # truncated at 2 sigma
+    assert np.abs(cross).max() <= 2.0 * stddev + 1e-6
+    assert np.allclose(np.asarray(params.bias), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# General k x k
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kernel_size", [2, 3, 5])
+@pytest.mark.parametrize("antisymmetric", [True, False])
+def test_kxk_diag_block_centrosymmetry(kernel_size, antisymmetric):
+    channels, gamma = 3, 0.2
+    params = init_antisym_kxk(
+        jax.random.key(7), kernel_size, channels, antisymmetric=antisymmetric
+    )
+    kernel = np.asarray(
+        materialize_kxk(params, kernel_size, gamma=gamma, antisymmetric=antisymmetric)
+    )
+    for ch in range(channels):
+        block = kernel[:, :, ch, ch]
+        mirrored = rot180(block)
+        if antisymmetric:
+            # Anti-centrosymmetric up to the gamma center (odd k).
+            expected = -block.copy()
+            if kernel_size % 2 == 1:
+                mid = kernel_size // 2
+                expected[mid, mid] = gamma
+            np.testing.assert_allclose(mirrored, expected, atol=1e-6)
+        else:
+            np.testing.assert_allclose(mirrored, block, atol=1e-6)
+
+
+@pytest.mark.parametrize("kernel_size", [3, 4, 5])
+@pytest.mark.parametrize("antisymmetric", [True, False])
+def test_kxk_diag_parity_with_reference_loop(kernel_size, antisymmetric):
+    """Diagonal blocks must match the reference's scalar-by-scalar
+    construction consumed in the same iteration order."""
+    channels, gamma = 2, 0.15
+    params = init_antisym_kxk(
+        jax.random.key(8), kernel_size, channels, antisymmetric=antisymmetric
+    )
+    kernel = np.asarray(
+        materialize_kxk(params, kernel_size, gamma=gamma, antisymmetric=antisymmetric)
+    )
+    diag_np = np.asarray(params.diag)  # (n_free, C)
+    for ch in range(channels):
+        expected = reference_centrosym_matrix(
+            list(diag_np[:, ch]), kernel_size, gamma, antisymmetric
+        )
+        np.testing.assert_allclose(kernel[:, :, ch, ch], expected, atol=1e-6)
+
+
+def test_kxk_matches_3x3_specialization():
+    """For k=3 the general layer and the specialization parameterize the same
+    family: map (a, b, c, d) -> general free order (a, b, c, f=-d)."""
+    channels, gamma = 4, 0.05
+    p3 = init_antisym_3x3(jax.random.key(9), channels)
+    diag = jnp.stack([p3.a, p3.b, p3.c, -p3.d])  # free order (0,0),(0,1),(0,2),(1,2)
+    pk = init_antisym_kxk(jax.random.key(10), 3, channels)._replace(
+        diag=diag, cross=p3.cross
+    )
+    np.testing.assert_allclose(
+        np.asarray(materialize_kxk(pk, 3, gamma=gamma)),
+        np.asarray(materialize_3x3(p3, gamma=gamma)),
+        atol=1e-6,
+    )
+
+
+def test_kxk_conv_matrix_antisymmetry():
+    channels = 2
+    params = init_antisym_kxk(jax.random.key(11), 5, channels)
+    kernel = materialize_kxk(params, 5, gamma=0.0)
+    m = conv_matrix(kernel, 6, 6, channels)
+    np.testing.assert_allclose(m + m.T, 0.0, atol=1e-5)
+
+
+def test_num_diag_free_counts():
+    # k(k-1)/2 + k//2 (+1 for trainable center when centrosymmetric and odd).
+    assert num_diag_free(3, True) == 4
+    assert num_diag_free(3, False) == 5
+    assert num_diag_free(5, True) == 12
+    assert num_diag_free(4, True) == 8
+    assert num_diag_free(4, False) == 8
+
+
+def test_stacked_layers_vmap():
+    """Stacked (L, ...) params materialize under vmap — the scan/stacked-layer
+    representation used by the integrator."""
+    layers, channels = 5, 8
+    keys = jax.random.split(jax.random.key(12), layers)
+    stacked = jax.vmap(lambda k: init_antisym_3x3(k, channels))(keys)
+    kernels = jax.vmap(lambda p: materialize_3x3(p, gamma=0.1))(stacked)
+    assert kernels.shape == (layers, 3, 3, channels, channels)
+    single = materialize_3x3(
+        Antisym3x3Params(*[leaf[2] for leaf in stacked]), gamma=0.1
+    )
+    np.testing.assert_allclose(np.asarray(kernels[2]), np.asarray(single), atol=0)

@@ -1,0 +1,221 @@
+"""Model assembly tests: shapes, parameter counts (exact reference parity),
+residual semantics, jit-ability, and the bottleneck family."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from differential_equations_resnet_tpu.models import (
+    SingleBlockResNetConfig,
+    build_resnet,
+    build_single_block_resnet,
+    cifar10_single_block_config,
+    resnet_preset,
+)
+from differential_equations_resnet_tpu.models.bottleneck_resnet import (
+    BottleneckResNetConfig,
+)
+from differential_equations_resnet_tpu.models.single_block_resnet import stage_plans
+
+
+def n_params(tree):
+    return sum(x.size for x in jax.tree.leaves(tree))
+
+
+def make_cifar_model(num_layers=4, kernel_type="antisymmetric", **kw):
+    return build_single_block_resnet(
+        cifar10_single_block_config(
+            num_layers=num_layers, num_filters=16, kernel_type=kernel_type, **kw
+        )
+    )
+
+
+def test_cifar_config_matches_notebook():
+    cfg = cifar10_single_block_config()
+    assert cfg.h == 8.0 / 64
+    assert cfg.blocks_per_stage == (64,)
+    assert cfg.num_stages == 2
+    plans = stage_plans(cfg)
+    assert len(plans) == 1 and not plans[0].has_conv_block
+    assert plans[0].num_identity == 64
+
+
+@pytest.mark.parametrize("kernel_type", ["antisymmetric", "regular"])
+def test_single_block_forward_shapes(kernel_type):
+    model = make_cifar_model(kernel_type=kernel_type)
+    params, state = model.init(jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3), maxval=255.0)
+    probs, _ = model.apply(params, state, x)
+    assert probs.shape == (2, 10)
+    np.testing.assert_allclose(np.asarray(jnp.sum(probs, -1)), 1.0, rtol=1e-5)
+    logits, _ = model.apply(params, state, x, return_logits=True)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.softmax(logits)), np.asarray(probs), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_single_block_param_count_parity():
+    """Trainable parameter counts must equal the reference models exactly:
+    antisymmetric block = 4C + 9*C(C-1)/2 + C; regular block = 9C^2 + C."""
+    channels, layers = 16, 64
+    anti = make_cifar_model(layers, "antisymmetric")
+    regular = make_cifar_model(layers, "regular")
+    p_anti, _ = anti.init(jax.random.key(0))
+    p_reg, _ = regular.init(jax.random.key(0))
+    stem = 3 * 3 * 3 * channels + channels
+    head = channels * 10 + 10
+    block_anti = 4 * channels + 9 * channels * (channels - 1) // 2 + channels
+    block_reg = 9 * channels * channels + channels
+    assert n_params(p_anti) == stem + layers * block_anti + head
+    assert n_params(p_reg) == stem + layers * block_reg + head
+
+
+def test_euler_residual_semantics():
+    """With h=0 the identity blocks must be exact no-ops: output equals the
+    stem+head applied alone (residual y + h*f(y) with h=0)."""
+    cfg = cifar10_single_block_config(num_layers=6, num_filters=8)
+    cfg0 = SingleBlockResNetConfig(
+        **{
+            **{f.name: getattr(cfg, f.name) for f in cfg.__dataclass_fields__.values()},
+            "h": 0.0,
+        }
+    )
+    model = build_single_block_resnet(cfg0)
+    params, state = model.init(jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3), maxval=255.0)
+    y0, _ = model.apply(params, state, x, return_logits=True)
+
+    # A 1-layer model with the same stem/head weights gives the same output.
+    cfg1 = SingleBlockResNetConfig(
+        **{
+            **{f.name: getattr(cfg, f.name) for f in cfg.__dataclass_fields__.values()},
+            "h": 0.0,
+            "blocks_per_stage": (1,),
+        }
+    )
+    model1 = build_single_block_resnet(cfg1)
+    params1, state1 = model1.init(jax.random.key(0))
+    params1["stem"], params1["head"] = params["stem"], params["head"]
+    params1["stages"][0]["blocks"] = jax.tree.map(
+        lambda a: a[:1], params["stages"][0]["blocks"]
+    )
+    y1, _ = model1.apply(params1, state1, x, return_logits=True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+
+@pytest.mark.parametrize("integrator", ["euler", "midpoint", "rk4"])
+def test_integrator_variants_run_and_differ(integrator):
+    model = make_cifar_model(4, integrator=integrator)
+    params, state = model.init(jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3), maxval=255.0)
+    y, _ = jax.jit(lambda p, s, x: model.apply(p, s, x, return_logits=True))(
+        params, state, x
+    )
+    assert y.shape == (2, 10)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_gradients_flow_to_all_params():
+    model = make_cifar_model(3)
+    params, state = model.init(jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3), maxval=255.0)
+    labels = jnp.array([1, 3])
+
+    def loss_fn(p):
+        logits, _ = model.apply(p, state, x, return_logits=True)
+        return jnp.mean(
+            -jax.nn.log_softmax(logits)[jnp.arange(2), labels]
+        )
+
+    grads = jax.grad(loss_fn)(params)
+    for path, g in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        assert np.isfinite(np.asarray(g)).all(), path
+        assert float(jnp.sum(jnp.abs(g))) > 0.0, path
+
+
+def test_multi_stage_with_pooling_and_conv_blocks():
+    cfg = SingleBlockResNetConfig(
+        image_shape=(32, 32, 3),
+        kernel_type="antisymmetric",
+        num_stages=4,
+        blocks_per_stage=(2, 2, 2),
+        filters_per_block=(8, 16, 32),
+        strides=((1, 1), (2, 2), (2, 2)),
+        use_max_pooling=(False, False, False, False),
+        num_classes=10,
+        h=0.5,
+    )
+    model = build_single_block_resnet(cfg)
+    params, state = model.init(jax.random.key(0))
+    plans = stage_plans(cfg)
+    assert [p.has_conv_block for p in plans] == [False, True, True]
+    x = jnp.ones((1, 32, 32, 3))
+    y, _ = model.apply(params, state, x)
+    assert y.shape == (1, 10)
+
+    cfg_pool = SingleBlockResNetConfig(
+        image_shape=(32, 32, 3),
+        kernel_type="regular",
+        num_stages=3,
+        blocks_per_stage=(2, 2),
+        filters_per_block=(8, 8),
+        strides=((1, 1), (1, 1)),
+        use_max_pooling=(True, True, False, False),
+        num_classes=10,
+        use_batch_norm=True,
+    )
+    model = build_single_block_resnet(cfg_pool)
+    params, state = model.init(jax.random.key(0))
+    y, new_state = model.apply(params, state, x, train=True)
+    assert y.shape == (1, 10)
+    # BN running stats must move in train mode.
+    before = np.asarray(state["stem_bn"].mean)
+    after = np.asarray(new_state["stem_bn"].mean)
+    assert not np.allclose(before, after)
+
+
+# ---------------------------------------------------------------------------
+# Bottleneck family
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("version", [1, 1.5])
+def test_bottleneck_resnet50_shapes(version):
+    cfg = resnet_preset(
+        "resnet50", num_classes=10, image_shape=(64, 64, 3), version=version
+    )
+    model = build_resnet(cfg)
+    params, state = model.init(jax.random.key(0))
+    x = jnp.ones((1, 64, 64, 3))
+    y, _ = model.apply(params, state, x)
+    assert y.shape == (1, 10)
+
+
+def test_bottleneck_antisymmetric_mid():
+    cfg = resnet_preset(
+        "resnet50", num_classes=10, image_shape=(64, 64, 3), antisymmetric_mid=True
+    )
+    # Antisymmetric mid conv keeps channels: mid filter entry must be None.
+    assert cfg.filters_per_block[0][1] is None
+    model = build_resnet(cfg)
+    params, state = model.init(jax.random.key(0))
+    y, _ = model.apply(params, state, jnp.ones((1, 64, 64, 3)), train=True)
+    assert y.shape == (1, 10)
+
+
+def test_bottleneck_block_counts():
+    cfg = resnet_preset("resnet101", num_classes=5, image_shape=(64, 64, 3))
+    assert cfg.blocks_per_stage == (3, 4, 23, 3)
+    model = build_resnet(cfg)
+    params, _ = model.init(jax.random.key(0))
+    # Stage 3 has 22 stacked identity blocks.
+    stacked = params["stages"][2]["identity_blocks"]
+    assert jax.tree.leaves(stacked)[0].shape[0] == 22
+
+
+def test_bottleneck_preset_validation():
+    with pytest.raises(ValueError):
+        resnet_preset("resnet18", num_classes=10)
+    with pytest.raises(ValueError):
+        BottleneckResNetConfig(num_classes=10, version=2)
