@@ -1,0 +1,276 @@
+"""Command-line interface.
+
+The reference has no config/flag system — everything lives in notebook cells
+(SURVEY.md section 5.6).  This CLI exposes the notebook workflows as
+subcommands over the typed dataclass configs:
+
+    train            headline CIFAR-10 single-block runs (v7 notebook cells 1-8)
+    evaluate         restore a checkpoint and evaluate
+    benchmark        steps/sec + batch-1 inference latency (v7 cells 19-25)
+    analyze          TrainingHistory gradient-flow diagnostics (v7 cell 27)
+    convert-records  image directory tree -> sharded binary records
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--num-layers", type=int, default=64)
+    p.add_argument("--num-filters", type=int, default=16)
+    p.add_argument("--final-time", type=float, default=8.0)
+    p.add_argument("--gamma", type=float, default=0.0)
+    p.add_argument(
+        "--kernel-type", choices=["antisymmetric", "regular"], default="antisymmetric"
+    )
+    p.add_argument(
+        "--integrator", choices=["euler", "midpoint", "rk4"], default="euler"
+    )
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--use-pallas", action="store_true")
+
+
+def _build_model(args):
+    from differential_equations_resnet_tpu.models import (
+        build_single_block_resnet,
+        cifar10_single_block_config,
+    )
+
+    config = cifar10_single_block_config(
+        num_layers=args.num_layers,
+        final_time=args.final_time,
+        num_filters=args.num_filters,
+        kernel_type=args.kernel_type,
+        gamma=args.gamma,
+        integrator=args.integrator,
+        remat=args.remat,
+        use_pallas=args.use_pallas,
+    )
+    return build_single_block_resnet(config)
+
+
+def _load_data(args):
+    from differential_equations_resnet_tpu.data.cifar10 import (
+        build_cifar10_dataset,
+        find_cifar10_directory,
+        synthetic_cifar10,
+    )
+
+    cifar_dir = getattr(args, "cifar10_dir", None) or find_cifar10_directory()
+    if cifar_dir:
+        print(f"# loading CIFAR-10 from {cifar_dir}", file=sys.stderr)
+        return build_cifar10_dataset(cifar_dir)
+    print("# CIFAR-10 not found on disk; using synthetic data", file=sys.stderr)
+    return synthetic_cifar10()
+
+
+def cmd_train(args) -> int:
+    from differential_equations_resnet_tpu.train import Training
+
+    model = _build_model(args)
+    train_x, train_y, test_x, test_y, _ = _load_data(args)
+    trainer = Training(
+        model,
+        train_features=train_x,
+        train_labels=train_y,
+        val_features=test_x,
+        val_labels=test_y,
+        batch_size=args.batch_size,
+        csv_logger_dir=args.csv_dir,
+        csv_logger_name=f"single_block_{args.kernel_type}_{args.num_layers}-layers_{args.num_filters}-filters",
+        summaries_dir=args.summaries_dir,
+    )
+    steps_per_epoch = (len(train_x) + args.batch_size - 1) // args.batch_size
+    eval_steps = (len(test_x) + args.batch_size - 1) // args.batch_size
+    trainer.train(
+        epochs=args.epochs,
+        steps_per_epoch=steps_per_epoch,
+        learning_rate_schedule=lambda step: args.learning_rate,
+        eval_steps=eval_steps,
+        save_during_training=args.save_dir is not None,
+        save_dir=args.save_dir,
+        monitor=args.monitor,
+        summaries_frequency=args.summaries_frequency,
+    )
+    print(json.dumps({"best": trainer.best_metrics}))
+    trainer.close()
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from differential_equations_resnet_tpu.train import Training
+
+    model = _build_model(args)
+    _, _, test_x, test_y, _ = _load_data(args)
+    trainer = Training(
+        model,
+        val_features=test_x,
+        val_labels=test_y,
+        batch_size=args.batch_size,
+        record_summaries=False,
+    )
+    if args.checkpoint:
+        trainer.load_variables(args.checkpoint)
+    steps = (len(test_x) + args.batch_size - 1) // args.batch_size
+    print(json.dumps(trainer.evaluate("val", num_steps=steps)))
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    """Steps/sec + batch-1 inference latency — the reference's wall-clock and
+    FPS micro-benchmarks (SURVEY.md section 5.1), plus an optional
+    jax.profiler trace."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from differential_equations_resnet_tpu.train import (
+        create_train_state,
+        make_adam,
+        make_train_step,
+    )
+
+    model = _build_model(args)
+    tx = make_adam()
+    state = create_train_state(model, jax.random.key(0), tx)
+    step = make_train_step(model, tx)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (args.batch_size, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, (args.batch_size,)))
+
+    for _ in range(5):
+        state, _, _ = step(state, x, y, 1e-3)
+    jax.block_until_ready(state)
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, _, _ = step(state, x, y, 1e-3)
+    jax.block_until_ready(state)
+    train_sps = args.steps / (time.perf_counter() - t0)
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    # Batch-1 inference latency (v7 notebook cells 19-25).
+    @jax.jit
+    def fwd(params, model_state, images):
+        out, _ = model.apply(params, model_state, images)
+        return out
+
+    x1 = x[:1]
+    fwd(state.params, state.model_state, x1).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(100):
+        out = fwd(state.params, state.model_state, x1)
+    out.block_until_ready()
+    latency_ms = (time.perf_counter() - t0) / 100 * 1e3
+
+    print(
+        json.dumps(
+            {
+                "train_steps_per_sec": round(train_sps, 3),
+                "inference_latency_batch1_ms": round(latency_ms, 4),
+                "inference_fps_batch1": round(1e3 / latency_ms, 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    from differential_equations_resnet_tpu.train import TrainingHistory
+
+    th = TrainingHistory(
+        training_history_filepath=args.training_csv,
+        evaluation_history_filepath=args.evaluation_csv,
+    )
+    out = {
+        "gradient_norm_relative_deviation": float(
+            th.gradient_norm_relative_deviation()
+        ),
+        "gradient_norm_standard_deviation": float(
+            th.gradient_norm_standard_deviation()
+        ),
+        "gradient_norm_last_first_ratio": float(
+            th.gradient_norm_relative_comparison()
+        ),
+    }
+    if args.evaluation_csv:
+        out["best_val_accuracy"] = float(th.evaluation_accuracy.max())
+        out["best_val_mean_loss"] = float(th.evaluation_mean_loss.min())
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_convert_records(args) -> int:
+    from differential_equations_resnet_tpu.data import RecordGenerator
+
+    gen = RecordGenerator()
+    gen.convert(
+        input_directory=args.input,
+        output_directory=args.output,
+        prefix=args.prefix,
+        num_files_per_record=args.shard_size,
+        train_val_split=args.val_split,
+        store_raw_arrays=args.raw,
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="deqres", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train")
+    _add_model_args(p)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--cifar10-dir", default=None)
+    p.add_argument("--csv-dir", default="./local/csv_logger")
+    p.add_argument("--summaries-dir", default=None)
+    p.add_argument("--save-dir", default=None)
+    p.add_argument("--monitor", choices=["loss", "accuracy"], default="loss")
+    p.add_argument("--summaries-frequency", type=int, default=10)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate")
+    _add_model_args(p)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--cifar10-dir", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("benchmark")
+    _add_model_args(p)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--profile-dir", default=None)
+    p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("analyze")
+    p.add_argument("training_csv")
+    p.add_argument("--evaluation-csv", default=None)
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("convert-records")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--prefix", default="")
+    p.add_argument("--shard-size", type=int, default=1000)
+    p.add_argument("--val-split", type=float, default=None)
+    p.add_argument("--raw", action="store_true")
+    p.set_defaults(fn=cmd_convert_records)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

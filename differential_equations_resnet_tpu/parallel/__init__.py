@@ -1,0 +1,13 @@
+"""Device mesh + sharding: the TPU-native parallelism layer (the reference has
+no distributed backend at all — SURVEY.md section 2.3; here DP/TP are
+first-class via jax.sharding + jit, collectives ride ICI)."""
+
+from differential_equations_resnet_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    create_mesh,
+    initialize_multihost,
+    local_batch_slice,
+    replicated_sharding,
+    shard_batch,
+    shard_params,
+)

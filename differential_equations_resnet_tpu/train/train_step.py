@@ -1,0 +1,191 @@
+"""The functional training core: TrainState + jitted train/eval steps.
+
+Replaces the reference's per-step `sess.run(fetches, feed_dict=...)` loop
+(`training/training.py:578-597`) with a single donated-buffer jitted step:
+forward + categorical cross-entropy (computed from logits for numerical
+stability — same math as the reference's softmax CE at
+`training/training.py:295`), backward, Adam update, batch metrics, and the
+per-layer gradient mean norms, all in one XLA executable.
+
+Data parallelism: pass a `Mesh` — the batch is sharded over the 'data' axis,
+parameters/optimizer state are replicated, and XLA inserts the gradient psum
+over ICI (the scaling-book recipe; the reference is single-device only).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from differential_equations_resnet_tpu.train.telemetry import gradient_mean_norms
+
+
+class TrainState(NamedTuple):
+    step: jax.Array          # () int32 global step
+    params: Any
+    model_state: Any         # BatchNorm running stats ({} when unused)
+    opt_state: Any
+
+
+def make_adam(learning_rate: float = 1e-3, epsilon: float = 1e-7):
+    """Adam with the reference's hyperparameters (v7 notebook cell 5:
+    tf.train.AdamOptimizer(lr, epsilon=1e-07)), with the learning rate
+    injected so the schedule can change it every step without recompiling."""
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=learning_rate, eps=epsilon
+    )
+
+
+def create_train_state(model, key: jax.Array, tx: Optional[Any] = None) -> TrainState:
+    params, model_state = model.init(key)
+    tx = tx if tx is not None else make_adam()
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=model_state,
+        opt_state=tx.init(params),
+    )
+
+
+def cross_entropy_from_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean categorical cross-entropy.  Accepts integer labels (N,) or
+    one-hot/soft labels (N, num_classes)."""
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if labels.ndim == logits.ndim:
+        per_example = -jnp.sum(labels.astype(jnp.float32) * log_probs, axis=-1)
+    else:
+        per_example = -jnp.take_along_axis(
+            log_probs, labels[:, None].astype(jnp.int32), axis=-1
+        )[:, 0]
+    return jnp.mean(per_example)
+
+
+def _labels_argmax(labels: jax.Array) -> jax.Array:
+    return jnp.argmax(labels, axis=-1) if labels.ndim > 1 else labels
+
+
+def _set_lr(opt_state, lr):
+    return opt_state._replace(
+        hyperparams={**opt_state.hyperparams, "learning_rate": lr}
+    )
+
+
+def make_train_step(
+    model,
+    tx,
+    mesh: Optional[Mesh] = None,
+    with_gradient_metrics: bool = True,
+    donate: bool = True,
+):
+    """Build the jitted train step:
+    (state, images, labels, lr) -> (state, metrics, grad_norms).
+
+    metrics = {'loss', 'correct', 'count'} (device scalars for the streaming
+    accumulators); grad_norms = (1 + num_layers,) per SURVEY.md section 5.5.
+    """
+    config = model.config
+
+    def loss_fn(params, model_state, images, labels):
+        logits, new_model_state = model.apply(
+            params, model_state, images, train=True, return_logits=True
+        )
+        loss = cross_entropy_from_logits(logits, labels)
+        return loss, (new_model_state, logits)
+
+    def step_fn(state: TrainState, images, labels, lr):
+        (loss, (new_model_state, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.model_state, images, labels)
+
+        grad_norms = (
+            gradient_mean_norms(grads, config)
+            if with_gradient_metrics
+            else jnp.zeros((0,), jnp.float32)
+        )
+
+        opt_state = _set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        predictions = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum(
+            (predictions == _labels_argmax(labels)).astype(jnp.float32)
+        )
+        metrics = {
+            "loss": loss,
+            "correct": correct,
+            "count": jnp.asarray(images.shape[0], jnp.float32),
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            model_state=new_model_state,
+            opt_state=opt_state,
+        )
+        return new_state, metrics, grad_norms
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=donate_argnums)
+    replicated = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, data, data, None),
+        out_shardings=(replicated, replicated, replicated),
+        donate_argnums=donate_argnums,
+    )
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None):
+    """(params, model_state, images, labels) -> metrics dict (loss on softmax
+    CE, correct count, count) — the reference's `_evaluate` fetches
+    (`training/training.py:670-706`)."""
+
+    def step_fn(params, model_state, images, labels):
+        logits, _ = model.apply(
+            params, model_state, images, train=False, return_logits=True
+        )
+        loss = cross_entropy_from_logits(logits, labels)
+        predictions = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum(
+            (predictions == _labels_argmax(labels)).astype(jnp.float32)
+        )
+        return {
+            "loss": loss,
+            "correct": correct,
+            "count": jnp.asarray(images.shape[0], jnp.float32),
+        }
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    replicated = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, replicated, data, data),
+        out_shardings=replicated,
+    )
+
+
+def make_predict_step(model, mesh: Optional[Mesh] = None):
+    """(params, model_state, images) -> model output (softmax probabilities,
+    matching the reference predictor's input, `training/training.py:306-314`)."""
+
+    def step_fn(params, model_state, images):
+        out, _ = model.apply(params, model_state, images, train=False)
+        return out
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    replicated = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, replicated, data),
+        out_shardings=data,
+    )

@@ -1,0 +1,378 @@
+"""The training harness: the user-facing `Training` class.
+
+Rebuild of the reference's TF1 graph-mode trainer
+(`training/training.py:34-876`) on the functional core of `train_step.py`:
+one donated jitted step per iteration instead of `sess.run(feed_dict)`,
+streaming metrics with explicit reset, per-layer gradient-norm CSV +
+TensorBoard-style summaries, periodic evaluation, best-metric-gated Orbax
+checkpointing (with the reference's 'accuracry'-typo bug fixed so accuracy
+monitoring actually works — reference `:637,667`), and a working `predict`
+(the reference's referenced a nonexistent `self.image_input`, `:752-779`).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterator, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from differential_equations_resnet_tpu.data.pipeline import (
+    NumpyDataset,
+    create_dataset_from_arrays,
+)
+from differential_equations_resnet_tpu.parallel.mesh import shard_batch
+from differential_equations_resnet_tpu.train.checkpoint import Checkpointer
+from differential_equations_resnet_tpu.train.metrics import StreamingMetrics
+from differential_equations_resnet_tpu.train.telemetry import (
+    CsvLogger,
+    SummaryWriter,
+    gradient_metric_names,
+)
+from differential_equations_resnet_tpu.train.train_step import (
+    TrainState,
+    create_train_state,
+    make_adam,
+    make_eval_step,
+    make_predict_step,
+    make_train_step,
+)
+
+
+class Training:
+    """End-to-end trainer.
+
+    Data can be supplied either as ready-made batched `NumpyDataset`s
+    (elements = (images, labels) batches) or as in-memory arrays, mirroring
+    the reference's 'tfrecord' / 'arrays' dataset modes
+    (`training/training.py:237-281`).
+    """
+
+    def __init__(
+        self,
+        model,
+        train_dataset: Optional[NumpyDataset] = None,
+        val_dataset: Optional[NumpyDataset] = None,
+        train_features: Optional[np.ndarray] = None,
+        train_labels: Optional[np.ndarray] = None,
+        val_features: Optional[np.ndarray] = None,
+        val_labels: Optional[np.ndarray] = None,
+        batch_size: int = 32,
+        optimizer=None,
+        global_step: int = 0,
+        record_summaries: bool = True,
+        summaries: Sequence[str] = ("mean_gradient_norms",),
+        summaries_dir: Optional[str] = None,
+        summaries_name: Optional[str] = None,
+        csv_logger_dir: Optional[str] = None,
+        csv_logger_name: Optional[str] = None,
+        mesh=None,
+        seed: int = 0,
+        data_seed: Optional[int] = 0,
+    ):
+        self.model = model
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.record_summaries = record_summaries
+        self.summaries = tuple(summaries)
+
+        # -- data ------------------------------------------------------------
+        if train_dataset is None and train_features is not None:
+            train_dataset = create_dataset_from_arrays(
+                train_features, train_labels, batch_size,
+                shuffle=True, repeat=True, drop_remainder=True, seed=data_seed,
+            )
+        if val_dataset is None and val_features is not None:
+            val_dataset = create_dataset_from_arrays(
+                val_features, val_labels, batch_size,
+                shuffle=False, repeat=True, drop_remainder=False, seed=data_seed,
+            )
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self._train_iter: Optional[Iterator] = (
+            iter(train_dataset) if train_dataset is not None else None
+        )
+        self._val_iter: Optional[Iterator] = (
+            iter(val_dataset) if val_dataset is not None else None
+        )
+
+        # -- functional core ---------------------------------------------------
+        self.tx = optimizer if optimizer is not None else make_adam()
+        self.state: TrainState = create_train_state(model, jax.random.key(seed), self.tx)
+        if global_step:
+            self.state = self.state._replace(step=jnp.asarray(global_step, jnp.int32))
+        self._train_step = make_train_step(
+            model, self.tx, mesh=mesh,
+            with_gradient_metrics="mean_gradient_norms" in self.summaries,
+        )
+        self._eval_step = make_eval_step(model, mesh=mesh)
+        self._predict_step = make_predict_step(model, mesh=mesh)
+
+        # -- metrics / logging -------------------------------------------------
+        self.train_metrics = StreamingMetrics()
+        self.eval_metrics = StreamingMetrics()
+        self.gradient_names = gradient_metric_names(model.config)
+        self.best_metrics = {"loss": np.inf, "accuracy": 0.0}
+        self.history: dict = {"train": [], "eval": []}
+
+        self._summary_writer = None
+        self._eval_summary_writer = None
+        if record_summaries and summaries_dir:
+            import os
+
+            run = summaries_name or model.name
+            self._summary_writer = SummaryWriter(
+                os.path.join(summaries_dir, run, "train")
+            )
+            self._eval_summary_writer = SummaryWriter(
+                os.path.join(summaries_dir, run, "eval")
+            )
+        self._train_csv = None
+        self._eval_csv = None
+        if record_summaries and csv_logger_dir:
+            import os
+
+            stamp = time.strftime("%Y%m%d-%H%M%S")
+            base = f"{csv_logger_name or 'history'}_{stamp}"
+            self._train_csv = CsvLogger(
+                os.path.join(csv_logger_dir, base + "_training.csv"),
+                ["global_step", "mean_loss", "accuracy"] + self.gradient_names,
+            )
+            self._eval_csv = CsvLogger(
+                os.path.join(csv_logger_dir, base + "_evaluation.csv"),
+                ["global_step", "mean_loss", "accuracy"],
+            )
+
+    # -- helpers ---------------------------------------------------------------
+
+    @property
+    def global_step(self) -> int:
+        return int(self.state.step)
+
+    def _device_batch(self, batch):
+        images, labels = batch
+        if self.mesh is not None:
+            return shard_batch(self.mesh, (images, labels))
+        return images, labels
+
+    # -- train -------------------------------------------------------------------
+
+    def train(
+        self,
+        epochs: int,
+        steps_per_epoch: int,
+        learning_rate_schedule: Callable[[int], float],
+        eval_dataset: str = "val",
+        eval_frequency: Optional[int] = 1,
+        eval_steps: Optional[int] = None,
+        save_during_training: bool = False,
+        save_dir: Optional[str] = None,
+        save_best_only: bool = True,
+        save_tags: Sequence[str] = ("default",),
+        save_name: str = "",
+        save_frequency: int = 5,
+        saver: str = "orbax",
+        monitor: str = "loss",
+        summaries_frequency: int = 10,
+        verbose: bool = True,
+    ) -> dict:
+        """Run the training loop (argument surface mirrors the reference
+        `Training.train`, training/training.py:473-488)."""
+        if self._train_iter is None:
+            raise ValueError("No training dataset was provided.")
+        if monitor not in ("loss", "accuracy"):
+            raise ValueError("`monitor` must be 'loss' or 'accuracy'.")
+        checkpointer = None
+        if save_during_training:
+            if save_dir is None:
+                raise ValueError("save_during_training=True requires save_dir.")
+            checkpointer = Checkpointer(save_dir, backend=saver)
+
+        for epoch in range(1, epochs + 1):
+            self.train_metrics.reset()
+            epoch_start = time.time()
+            for _ in range(steps_per_epoch):
+                lr = float(learning_rate_schedule(self.global_step))
+                images, labels = self._device_batch(next(self._train_iter))
+                self.state, metrics, grad_norms = self._train_step(
+                    self.state, images, labels, lr
+                )
+                self.train_metrics.update(
+                    metrics["loss"], metrics["correct"], metrics["count"]
+                )
+                step = self.global_step
+                if self.record_summaries and step % summaries_frequency == 0:
+                    results = self.train_metrics.results()
+                    norms = np.asarray(grad_norms)
+                    if self._train_csv is not None:
+                        self._train_csv.log(
+                            [step, results["mean_loss"], results["accuracy"]]
+                            + [float(n) for n in norms]
+                        )
+                    if self._summary_writer is not None:
+                        self._summary_writer.scalar("learning_rate", lr, step)
+                        self._summary_writer.scalars(results, step)
+                        if "mean_gradient_norms" in self.summaries:
+                            for name, value in zip(self.gradient_names, norms):
+                                self._summary_writer.scalar(name, float(value), step)
+
+            train_results = self.train_metrics.results()
+            self.history["train"].append({"epoch": epoch, "step": self.global_step,
+                                          **train_results})
+            if verbose:
+                dt = time.time() - epoch_start
+                print(
+                    f"Epoch {epoch}/{epochs}: loss={train_results['mean_loss']:.4f} "
+                    f"acc={train_results['accuracy']:.4f} "
+                    f"({steps_per_epoch / dt:.2f} steps/s)"
+                )
+
+            # -- periodic evaluation (reference :603-619) -------------------------
+            eval_results = None
+            if (
+                eval_frequency
+                and eval_dataset == "val"
+                and self._val_iter is not None
+                and epoch % eval_frequency == 0
+            ):
+                eval_results = self._evaluate(eval_steps)
+                self.history["eval"].append(
+                    {"epoch": epoch, "step": self.global_step, **eval_results}
+                )
+                if self._eval_csv is not None:
+                    self._eval_csv.log(
+                        [self.global_step, eval_results["mean_loss"],
+                         eval_results["accuracy"]]
+                    )
+                if self._eval_summary_writer is not None:
+                    self._eval_summary_writer.scalars(eval_results, self.global_step)
+                if verbose:
+                    print(
+                        f"  eval: loss={eval_results['mean_loss']:.4f} "
+                        f"acc={eval_results['accuracy']:.4f}"
+                    )
+
+            # -- best-metric bookkeeping + checkpointing (reference :625-668) ----
+            monitored = eval_results if eval_results is not None else train_results
+            improved = (
+                monitored["mean_loss"] < self.best_metrics["loss"]
+                if monitor == "loss"
+                else monitored["accuracy"] > self.best_metrics["accuracy"]
+            )
+            self.best_metrics["loss"] = min(self.best_metrics["loss"],
+                                            monitored["mean_loss"])
+            self.best_metrics["accuracy"] = max(self.best_metrics["accuracy"],
+                                                monitored["accuracy"])
+            if (
+                checkpointer is not None
+                and epoch % save_frequency == 0
+                and (improved or not save_best_only)
+            ):
+                checkpointer.save(
+                    self.state,
+                    self.global_step,
+                    name=save_name,
+                    tags=save_tags,
+                    metrics={
+                        "loss": monitored["mean_loss"],
+                        "accuracy": monitored["accuracy"],
+                    },
+                )
+        return self.history
+
+    # -- evaluation ---------------------------------------------------------------
+
+    def _evaluate(self, eval_steps: Optional[int]) -> dict:
+        self.eval_metrics.reset()
+        if eval_steps is None:
+            raise ValueError("eval_steps must be provided for a repeated dataset.")
+        for _ in range(eval_steps):
+            images, labels = self._device_batch(next(self._val_iter))
+            metrics = self._eval_step(
+                self.state.params, self.state.model_state, images, labels
+            )
+            self.eval_metrics.update(
+                metrics["loss"], metrics["correct"], metrics["count"]
+            )
+        return self.eval_metrics.results()
+
+    def evaluate(self, dataset: str = "val", num_steps: Optional[int] = None) -> dict:
+        """Standalone evaluation (reference `evaluate`,
+        training/training.py:708-750)."""
+        if dataset == "train":
+            iterator = self._train_iter
+        elif dataset == "val":
+            iterator = self._val_iter
+        else:
+            raise ValueError("dataset must be 'train' or 'val'.")
+        if iterator is None:
+            raise ValueError(f"No {dataset} dataset available.")
+        self.eval_metrics.reset()
+        for _ in range(num_steps):
+            images, labels = self._device_batch(next(iterator))
+            metrics = self._eval_step(
+                self.state.params, self.state.model_state, images, labels
+            )
+            self.eval_metrics.update(
+                metrics["loss"], metrics["correct"], metrics["count"]
+            )
+        return self.eval_metrics.results()
+
+    # -- inference -----------------------------------------------------------------
+
+    def predict(self, images: np.ndarray, batch_size: Optional[int] = None) -> np.ndarray:
+        """Model outputs for a batch of images (fixes the reference's broken
+        `predict`, training/training.py:752-779).  Pads the final partial
+        batch so the jitted step sees one static shape."""
+        batch_size = batch_size or self.batch_size
+        outputs = []
+        for start in range(0, len(images), batch_size):
+            chunk = images[start : start + batch_size]
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            out = self._predict_step(
+                self.state.params, self.state.model_state, jnp.asarray(chunk)
+            )
+            out = np.asarray(out)
+            outputs.append(out[: len(out) - pad] if pad else out)
+        return np.concatenate(outputs, axis=0)
+
+    # -- persistence ------------------------------------------------------------------
+
+    def save(
+        self,
+        save_dir: str,
+        tags: Sequence[str] = ("default",),
+        name: str = "",
+        saver: str = "orbax",
+    ) -> str:
+        """Checkpoint the full TrainState (reference `save`,
+        training/training.py:781-858)."""
+        checkpointer = Checkpointer(save_dir, backend=saver)
+        return checkpointer.save(
+            self.state, self.global_step, name=name, tags=tags,
+            metrics={"loss": self.best_metrics["loss"],
+                     "accuracy": self.best_metrics["accuracy"]},
+        )
+
+    def load_variables(self, path: str) -> None:
+        """Restore a checkpoint into this trainer (reference `load_variables`,
+        training/training.py:860-865)."""
+        import os
+
+        base = os.path.dirname(os.path.abspath(path.rstrip("/")))
+        checkpointer = Checkpointer(base)
+        self.state = checkpointer.restore(self.state, os.path.abspath(path.rstrip("/")))
+
+    def close(self) -> None:
+        """Release logger resources (reference `close`,
+        training/training.py:867-876)."""
+        for writer in (self._summary_writer, self._eval_summary_writer):
+            if writer is not None:
+                writer.close()
+        for logger in (self._train_csv, self._eval_csv):
+            if logger is not None:
+                logger.close()

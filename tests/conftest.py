@@ -1,15 +1,22 @@
 """Test configuration: force an 8-device virtual CPU platform so sharding and
-collective paths are exercised without TPU hardware (SURVEY.md section 4)."""
+collective paths are exercised without TPU hardware (SURVEY.md section 4).
+
+Note: a sitecustomize on TPU hosts may pre-set ``jax_platforms`` to a TPU
+backend at interpreter startup; `jax.config.update` after import (but before
+backend initialization) overrides it reliably, where the JAX_PLATFORMS env
+var would be ignored.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

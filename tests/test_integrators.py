@@ -28,11 +28,14 @@ def _global_error(method, num_steps):
 
 
 @pytest.mark.parametrize(
-    "method,order", [("euler", 1), ("midpoint", 2), ("rk4", 4)]
+    # Step counts chosen per order so the discretization error stays far
+    # above float32 roundoff (RK4 at h=1/32 is already ~1e-8).
+    "method,order,steps",
+    [("euler", 1, 32), ("midpoint", 2, 16), ("rk4", 4, 4)],
 )
-def test_order_of_accuracy(method, order):
-    e1 = _global_error(method, 32)
-    e2 = _global_error(method, 64)
+def test_order_of_accuracy(method, order, steps):
+    e1 = _global_error(method, steps)
+    e2 = _global_error(method, 2 * steps)
     rate = np.log2(e1 / e2)
     assert abs(rate - order) < 0.35, (method, rate)
 

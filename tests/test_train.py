@@ -1,0 +1,215 @@
+"""Training harness tests: the end-to-end slice (SURVEY.md section 7 item 5) —
+smoke training on synthetic CIFAR-shaped data, streaming metrics, gradient
+telemetry CSV round-trip through TrainingHistory, checkpoint/resume."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from differential_equations_resnet_tpu.data import synthetic_cifar10
+from differential_equations_resnet_tpu.models import (
+    build_single_block_resnet,
+    cifar10_single_block_config,
+)
+from differential_equations_resnet_tpu.train import (
+    Checkpointer,
+    StreamingMetrics,
+    Training,
+    TrainingHistory,
+    constant_schedule,
+    create_train_state,
+    exponential_decay_schedule,
+    gradient_metric_names,
+    make_adam,
+    make_train_step,
+    piecewise_constant_schedule,
+)
+
+
+def tiny_model(num_layers=4, num_filters=8, **kw):
+    return build_single_block_resnet(
+        cifar10_single_block_config(
+            num_layers=num_layers, num_filters=num_filters, **kw
+        )
+    )
+
+
+def make_trainer(tmp_path, num_layers=4, **kw):
+    model = tiny_model(num_layers)
+    train_x, train_y, test_x, test_y, _ = synthetic_cifar10(256, 64, seed=0)
+    return Training(
+        model,
+        train_features=train_x,
+        train_labels=train_y,
+        val_features=test_x,
+        val_labels=test_y,
+        batch_size=32,
+        csv_logger_dir=str(tmp_path / "csv"),
+        csv_logger_name="smoke",
+        summaries_dir=None,
+        **kw,
+    )
+
+
+def test_streaming_metrics():
+    m = StreamingMetrics()
+    m.update(2.0, 3, 10)
+    m.update(4.0, 7, 10)
+    assert m.mean_loss == 3.0
+    assert m.accuracy == 0.5
+    m.reset()
+    assert m.mean_loss == 0.0 and m.accuracy == 0.0
+
+
+def test_schedules():
+    assert constant_schedule(0.1)(123) == 0.1
+    s = piecewise_constant_schedule([10, 20], [1.0, 0.1, 0.01])
+    assert s(5) == 1.0 and s(15) == 0.1 and s(25) == 0.01
+    e = exponential_decay_schedule(1.0, 0.5, 10, staircase=True)
+    assert e(9) == 1.0 and e(10) == 0.5
+
+
+def test_smoke_training_reduces_loss(tmp_path):
+    trainer = make_trainer(tmp_path)
+    history = trainer.train(
+        epochs=3,
+        steps_per_epoch=8,
+        learning_rate_schedule=lambda step: 1e-3,
+        eval_steps=2,
+        summaries_frequency=2,
+        verbose=False,
+    )
+    assert trainer.global_step == 24
+    losses = [h["mean_loss"] for h in history["train"]]
+    assert losses[-1] < losses[0]
+    assert len(history["eval"]) == 3
+
+    # CSV telemetry round-trips through TrainingHistory with the reference's
+    # column layout and diagnostics.
+    csv_dir = str(tmp_path / "csv")
+    files = sorted(os.listdir(csv_dir))
+    train_csv = [f for f in files if "training" in f][0]
+    eval_csv = [f for f in files if "evaluation" in f][0]
+    th = TrainingHistory(
+        training_history_filepath=os.path.join(csv_dir, train_csv),
+        evaluation_history_filepath=os.path.join(csv_dir, eval_csv),
+    )
+    assert th.num_layers == 1 + 4  # conv1 + 4 residual layers
+    assert th.gradient_names[0] == "conv1_kernel_gradient_mean_norm"
+    assert th.gradient_names[1] == "res2_0_branch2_kernel_gradient_mean_norm"
+    assert np.all(th.gradient_norms > 0)
+    rel_dev = th.gradient_norm_relative_deviation(step_bounds=(None, None, 1))
+    assert np.isfinite(rel_dev) and rel_dev >= 1.0  # >= 1 by Cauchy-Schwarz
+    std = th.gradient_norm_standard_deviation()
+    assert np.isfinite(std)
+    ratio = th.gradient_norm_relative_comparison(step_bounds=(None, None, 1))
+    assert np.isfinite(ratio) and ratio > 0
+    assert len(th.evaluation_steps) == 3
+    trainer.close()
+
+
+def test_evaluate_and_predict(tmp_path):
+    trainer = make_trainer(tmp_path)
+    results = trainer.evaluate(dataset="val", num_steps=2)
+    assert 0.0 <= results["accuracy"] <= 1.0
+    assert results["mean_loss"] > 0
+    images = synthetic_cifar10(10, 1, seed=5)[0]
+    probs = trainer.predict(images, batch_size=4)  # exercises padding path
+    assert probs.shape == (10, 10)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    trainer.close()
+
+
+def test_checkpoint_save_restore_resumes_adam_state(tmp_path):
+    trainer = make_trainer(tmp_path)
+    trainer.train(
+        epochs=1, steps_per_epoch=4,
+        learning_rate_schedule=lambda s: 1e-3,
+        eval_frequency=None, verbose=False,
+    )
+    path = trainer.save(str(tmp_path / "ckpt"), tags=["t"], name="m")
+    assert "step-00000004" in path
+
+    trainer2 = make_trainer(tmp_path / "second")
+    trainer2.load_variables(path)
+    assert trainer2.global_step == 4
+    for a, b in zip(jax.tree.leaves(trainer.state), jax.tree.leaves(trainer2.state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    trainer.close(), trainer2.close()
+
+
+def test_checkpointer_gc_and_latest(tmp_path):
+    model = tiny_model(2)
+    state = create_train_state(model, jax.random.key(0))
+    ckpt = Checkpointer(str(tmp_path), backend="pickle", max_to_keep=2)
+    for step in (1, 2, 3):
+        ckpt.save(state._replace(step=jnp.asarray(step, jnp.int32)), step)
+    assert len(ckpt.list_checkpoints()) == 2
+    assert "step-00000003" in ckpt.latest()
+    restored = ckpt.restore(state)
+    assert int(restored.step) == 3
+
+
+def test_best_metric_monitoring_accuracy(tmp_path):
+    """Accuracy-monitored checkpointing must actually trigger (the reference
+    never saved on accuracy due to its 'accuracry' typo, training.py:637)."""
+    trainer = make_trainer(tmp_path)
+    trainer.train(
+        epochs=1, steps_per_epoch=4,
+        learning_rate_schedule=lambda s: 1e-3,
+        eval_steps=1,
+        save_during_training=True,
+        save_dir=str(tmp_path / "best"),
+        save_best_only=True,
+        save_frequency=1,
+        saver="pickle",
+        monitor="accuracy",
+        verbose=False,
+    )
+    ckpts = Checkpointer(str(tmp_path / "best"), backend="pickle").list_checkpoints()
+    assert len(ckpts) == 1
+    trainer.close()
+
+
+def test_train_step_lr_injection():
+    """The injected learning rate must actually drive the Adam update."""
+    model = tiny_model(2)
+    tx = make_adam()
+    state = create_train_state(model, jax.random.key(0), tx)
+    step = make_train_step(model, tx, donate=False)
+    x = jnp.ones((4, 32, 32, 3))
+    y = jnp.zeros((4,), jnp.int32)
+    s_small, _, _ = step(state, x, y, 1e-6)
+    s_big, _, _ = step(state, x, y, 1e-1)
+    d_small = float(
+        jnp.abs(s_small.params["stem"].kernel - state.params["stem"].kernel).max()
+    )
+    d_big = float(
+        jnp.abs(s_big.params["stem"].kernel - state.params["stem"].kernel).max()
+    )
+    assert d_big > 100 * d_small
+
+
+def test_gradient_metric_names_with_conv_blocks():
+    from differential_equations_resnet_tpu.models import SingleBlockResNetConfig
+
+    cfg = SingleBlockResNetConfig(
+        num_stages=3,
+        blocks_per_stage=(2, 3),
+        filters_per_block=(8, 16),
+        strides=((1, 1), (2, 2)),
+        num_classes=10,
+        use_max_pooling=(False, False, False, False),
+    )
+    names = gradient_metric_names(cfg)
+    assert names == [
+        "conv1_kernel_gradient_mean_norm",
+        "res2_0_branch2_kernel_gradient_mean_norm",
+        "res2_1_branch2_kernel_gradient_mean_norm",
+        "res3_0_branch2_kernel_gradient_mean_norm",  # conv block
+        "res3_1_branch2_kernel_gradient_mean_norm",
+        "res3_2_branch2_kernel_gradient_mean_norm",
+    ]

@@ -1,0 +1,93 @@
+"""Weight-surgery tests: pickling, depth-doubling continuation (the ODE
+refinement transform), and reference-format interop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from differential_equations_resnet_tpu.models import (
+    build_single_block_resnet,
+    cifar10_single_block_config,
+)
+from differential_equations_resnet_tpu.utils import (
+    double_load_weights,
+    double_model_depth,
+    export_reference_weights,
+    import_reference_weights,
+    load_pickled_weights,
+    pickle_model_weights,
+)
+
+
+def make_model(num_layers=4, **kw):
+    return build_single_block_resnet(
+        cifar10_single_block_config(num_layers=num_layers, num_filters=8, **kw)
+    )
+
+
+def test_pickle_roundtrip(tmp_path):
+    model = make_model()
+    params, _ = model.init(jax.random.key(0))
+    path = str(tmp_path / "w.pkl")
+    pickle_model_weights(params, path)
+    loaded = load_pickled_weights(path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_double_model_depth_duplicates_layers_and_halves_h():
+    model = make_model(num_layers=3)
+    params, state = model.init(jax.random.key(0))
+    new_params, new_config = double_model_depth(params, model.config)
+    assert new_config.blocks_per_stage == (6,)
+    assert new_config.h == model.config.h / 2
+    old = params["stages"][0]["blocks"]
+    new = new_params["stages"][0]["blocks"]
+    for leaf_old, leaf_new in zip(jax.tree.leaves(old), jax.tree.leaves(new)):
+        assert leaf_new.shape[0] == 2 * leaf_old.shape[0]
+        # Layer l duplicated into 2l and 2l+1.
+        np.testing.assert_array_equal(np.asarray(leaf_new[0]), np.asarray(leaf_old[0]))
+        np.testing.assert_array_equal(np.asarray(leaf_new[1]), np.asarray(leaf_old[0]))
+        np.testing.assert_array_equal(np.asarray(leaf_new[4]), np.asarray(leaf_old[2]))
+
+    # The doubled model is a valid warm start: outputs stay close to the
+    # coarse model (halved h, doubled steps approximates the same flow).
+    doubled = build_single_block_resnet(new_config)
+    _, dstate = doubled.init(jax.random.key(1))
+    x = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3), maxval=255.0)
+    y_coarse, _ = model.apply(params, state, x, return_logits=True)
+    y_fine, _ = doubled.apply(new_params, dstate, x, return_logits=True)
+    assert float(jnp.abs(y_coarse - y_fine).max()) < 0.5 * float(
+        jnp.abs(y_coarse).max()
+    )
+
+
+def test_double_load_weights_from_pickle(tmp_path):
+    model = make_model(num_layers=2)
+    params, _ = model.init(jax.random.key(0))
+    path = str(tmp_path / "w.pkl")
+    pickle_model_weights(params, path)
+    doubled = double_load_weights(None, path)
+    assert jax.tree.leaves(doubled["stages"][0]["blocks"])[0].shape[0] == 4
+
+
+def test_reference_format_roundtrip():
+    """Packed -> dense reference list -> packed must be the identity, and the
+    dense kernels must be the materialized antisymmetric kernels."""
+    model = make_model(num_layers=3)
+    params, state = model.init(jax.random.key(0))
+    ref = export_reference_weights(params, model.config)
+    # stem + 3 blocks + head
+    assert len(ref) == 5
+    assert ref[0]["kernel"].shape == (3, 3, 3, 8)
+    assert ref[1]["kernel"].shape == (3, 3, 8, 8)
+    # Dense kernel is channel-antisymmetric: K[:,:,i,j] == -rot180(K[:,:,j,i]).
+    k = ref[1]["kernel"]
+    np.testing.assert_allclose(
+        k[:, :, 0, 1], -k[::-1, ::-1, 1, 0], atol=1e-6
+    )
+    params2 = import_reference_weights(ref, params, model.config)
+    x = jnp.ones((1, 32, 32, 3))
+    y1, _ = model.apply(params, state, x, return_logits=True)
+    y2, _ = model.apply(params2, state, x, return_logits=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
