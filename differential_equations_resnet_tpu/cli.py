@@ -84,8 +84,12 @@ def cmd_train(args) -> int:
         csv_logger_name=f"single_block_{args.kernel_type}_{args.num_layers}-layers_{args.num_filters}-filters",
         summaries_dir=args.summaries_dir,
     )
-    steps_per_epoch = (len(train_x) + args.batch_size - 1) // args.batch_size
-    eval_steps = (len(test_x) + args.batch_size - 1) // args.batch_size
+    steps_per_epoch = args.steps_per_epoch or (
+        (len(train_x) + args.batch_size - 1) // args.batch_size
+    )
+    eval_steps = args.eval_steps or (
+        (len(test_x) + args.batch_size - 1) // args.batch_size
+    )
     trainer.train(
         epochs=args.epochs,
         steps_per_epoch=steps_per_epoch,
@@ -230,6 +234,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("train")
     _add_model_args(p)
     p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--eval-steps", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--cifar10-dir", default=None)

@@ -195,6 +195,40 @@ class NumpyDataset:
         return self._source()
 
 
+def _fast_array_batches(
+    features: np.ndarray,
+    labels: np.ndarray,
+    batch_size: int,
+    shuffle: bool,
+    repeat: bool,
+    drop_remainder: bool,
+    seed: Optional[int],
+) -> NumpyDataset:
+    """Vectorized batch assembly for in-memory arrays: one permutation per
+    epoch + fancy-indexed gathers — orders of magnitude faster than
+    per-element iteration (the accelerator step is ~sub-millisecond; the
+    host pipeline must not be the bottleneck)."""
+    n = len(features)
+
+    def gen():
+        rng = np.random.default_rng(seed)
+        while True:
+            idx = rng.permutation(n) if shuffle else None
+            for start in range(0, n, batch_size):
+                stop = start + batch_size
+                if drop_remainder and stop > n:
+                    break
+                if idx is None:
+                    yield features[start:stop], labels[start:stop]
+                else:
+                    sel = idx[start:stop]
+                    yield features[sel], labels[sel]
+            if not repeat:
+                return
+
+    return NumpyDataset.from_generator(gen)
+
+
 def create_dataset_from_arrays(
     features: np.ndarray,
     labels: np.ndarray,
@@ -209,7 +243,15 @@ def create_dataset_from_arrays(
     """In-memory (features, labels) -> batched pipeline.
 
     Parity with `dataset_utils/tf_dataset_creator_from_arrays.py:22-58`:
-    preprocessor chain, full-size shuffle, repeat, batch, prefetch."""
+    preprocessor chain, full-size shuffle, repeat, batch, prefetch.  With no
+    preprocessors the pipeline takes the vectorized whole-batch gather path
+    (epoch-level permutation, identical distribution to a full-size shuffle
+    buffer)."""
+    if not preprocessors:
+        dataset = _fast_array_batches(
+            features, labels, batch_size, shuffle, repeat, drop_remainder, seed
+        )
+        return dataset.prefetch(prefetch_buffer)
     dataset = NumpyDataset.from_tensor_slices((features, labels))
     for preprocessor in preprocessors:
         dataset = preprocessor(dataset)

@@ -183,15 +183,32 @@ class RecordGenerator:
         prefix: str = "arrays",
         suffix: str = "dert",
         num_files_per_record: int = 1000,
+        use_native: bool = True,
     ) -> List[str]:
         """Write in-memory (N, H, W, C) uint8 arrays as sharded records —
-        the NumPy-native ingestion path (no file-per-image needed)."""
+        the NumPy-native ingestion path (no file-per-image needed).  Uses the
+        C++ codec when it builds (native/dert_codec.cc), else pure Python."""
         pathlib.Path(output_directory).mkdir(parents=True, exist_ok=True)
+        native_write = None
+        if use_native:
+            try:
+                from differential_equations_resnet_tpu.native.codec import (
+                    write_raw_shard,
+                )
+
+                native_write = write_raw_shard
+            except Exception:
+                native_write = None
         paths = []
         num_shards = ceil(len(images) / num_files_per_record)
         for shard in range(num_shards):
             sl = slice(shard * num_files_per_record, (shard + 1) * num_files_per_record)
             path = os.path.join(output_directory, f"{prefix}_{shard:04d}.{suffix}")
+            if native_write is not None and native_write(
+                path, np.ascontiguousarray(images[sl], np.uint8), labels[sl]
+            ):
+                paths.append(path)
+                continue
             with open(path, "wb") as fp:
                 fp.write(MAGIC + struct.pack("<I", VERSION))
                 for img, label in zip(images[sl], labels[sl]):
@@ -245,12 +262,37 @@ class RecordDatasetCreator:
         paths = list(self.record_paths)
         seed = self.seed
 
+        def read_shard(path):
+            """Bulk native read for uniform raw shards; per-record Python
+            parse otherwise."""
+            try:
+                from differential_equations_resnet_tpu.native.codec import (
+                    read_raw_shard,
+                )
+
+                first = next(read_record_file(path))
+                image = first["image"]
+                # The bulk reader drops filenames, so only engage it for
+                # array-written shards (empty names).
+                if isinstance(image, np.ndarray) and first["filename"] == "":
+                    result = read_raw_shard(path, image.shape)
+                    if result is not None:
+                        images, labels = result
+                        for img, label in zip(images, labels):
+                            yield {"image": img, "filename": "", "label": int(label)}
+                        return
+            except ValueError:
+                raise  # corrupt shard: surface, don't silently re-read
+            except Exception:
+                pass  # native codec unavailable / non-raw shard
+            yield from read_record_file(path)
+
         def gen():
             order = list(paths)
             if self.shuffle:
                 random.Random(seed).shuffle(order)
             for path in order:
-                yield from read_record_file(path)
+                yield from read_shard(path)
 
         dataset = NumpyDataset.from_generator(gen)
         for preprocessor in self.preprocessors or []:

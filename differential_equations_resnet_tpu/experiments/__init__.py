@@ -1,0 +1,8 @@
+"""Experiment drivers: library equivalents of the reference's notebook
+workflows (stability analysis, gamma sweeps, depth scaling)."""
+
+from differential_equations_resnet_tpu.experiments.deep_stability import (  # noqa: F401
+    conv_matrix_spectrum,
+    forward_stability_report,
+    gamma_sweep,
+)

@@ -1,0 +1,134 @@
+"""Width x depth throughput sweeps (the BASELINE 'v5e-8 data-parallel
+width x depth sweep, bf16, ImageNet-32 scale workload' configuration).
+
+Each cell of the sweep builds a single-block ODE-ResNet at (width, depth),
+jits the full data-parallel train step over the given mesh (or single chip),
+and measures sustained steps/sec and images/sec on synthetic data — the
+machinery behind BENCH results and capacity planning."""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from differential_equations_resnet_tpu.models import (
+    SingleBlockResNetConfig,
+    build_single_block_resnet,
+)
+from differential_equations_resnet_tpu.parallel.mesh import shard_batch, shard_params
+from differential_equations_resnet_tpu.train import (
+    create_train_state,
+    make_adam,
+    make_train_step,
+)
+
+
+def imagenet32_config(
+    num_layers: int = 28,
+    num_filters: int = 64,
+    final_time: float = 8.0,
+    kernel_type: str = "antisymmetric",
+    compute_dtype=jnp.bfloat16,
+    **overrides,
+) -> SingleBlockResNetConfig:
+    """ImageNet-32-scale workload: 32x32 inputs, 1000 classes, wider trunk,
+    bf16 compute."""
+    return SingleBlockResNetConfig(
+        image_shape=(32, 32, 3),
+        kernel_type=kernel_type,
+        kernel_size=3,
+        h=final_time / num_layers,
+        num_stages=2,
+        blocks_per_stage=(num_layers,),
+        filters_per_block=(num_filters,),
+        strides=((1, 1),),
+        num_classes=1000,
+        subtract_mean=127.5,
+        divide_by_stddev=127.5,
+        compute_dtype=compute_dtype,
+        **overrides,
+    )
+
+
+def measure_train_throughput(
+    config: SingleBlockResNetConfig,
+    batch_size: int,
+    mesh=None,
+    steps: int = 50,
+    warmup: int = 5,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Sustained full-train-step throughput for one configuration."""
+    model = build_single_block_resnet(config)
+    tx = make_adam()
+    state = create_train_state(model, jax.random.key(seed), tx)
+    step_fn = make_train_step(model, tx, mesh=mesh)
+
+    rng = np.random.default_rng(seed)
+    hw = config.image_shape
+    x = rng.uniform(0, 255, (batch_size,) + hw).astype(np.float32)
+    y = rng.integers(0, config.num_classes, (batch_size,)).astype(np.int64)
+    if mesh is not None:
+        state = state._replace(
+            params=shard_params(mesh, state.params),
+            opt_state=shard_params(mesh, state.opt_state),
+            model_state=shard_params(mesh, state.model_state),
+        )
+        x, y = shard_batch(mesh, (x, y))
+    else:
+        x, y = jnp.asarray(x), jnp.asarray(y)
+
+    for _ in range(warmup):
+        state, metrics, _ = step_fn(state, x, y, 1e-3)
+    jax.block_until_ready(state)
+
+    start = time.perf_counter()
+    for _ in range(steps):
+        state, metrics, _ = step_fn(state, x, y, 1e-3)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - start
+
+    steps_per_sec = steps / elapsed
+    return {
+        "steps_per_sec": steps_per_sec,
+        "images_per_sec": steps_per_sec * batch_size,
+        "step_ms": 1e3 * elapsed / steps,
+    }
+
+
+def width_depth_sweep(
+    widths: Sequence[int] = (16, 32, 64),
+    depths: Sequence[int] = (16, 32, 64),
+    batch_size: int = 128,
+    mesh=None,
+    num_classes: int = 1000,
+    compute_dtype=jnp.bfloat16,
+    steps: int = 30,
+    kernel_type: str = "antisymmetric",
+) -> Dict[Tuple[int, int], Dict[str, float]]:
+    """Throughput at every (width, depth) grid point."""
+    results: Dict[Tuple[int, int], Dict[str, float]] = {}
+    for width in widths:
+        for depth in depths:
+            config = imagenet32_config(
+                num_layers=depth,
+                num_filters=width,
+                kernel_type=kernel_type,
+                compute_dtype=compute_dtype,
+                remat=depth >= 64,
+            )
+            if num_classes != 1000:
+                config = SingleBlockResNetConfig(
+                    **{
+                        **{f: getattr(config, f) for f in config.__dataclass_fields__},
+                        "num_classes": num_classes,
+                    }
+                )
+            results[(width, depth)] = measure_train_throughput(
+                config, batch_size, mesh=mesh, steps=steps
+            )
+    return results

@@ -18,23 +18,47 @@ class StreamingMetrics:
         self.reset()
 
     def reset(self) -> None:
+        self._pending = []  # (loss, correct, count) — device scalars OK
         self._loss_sum = 0.0
         self._loss_batches = 0
         self._correct = 0.0
         self._count = 0.0
 
-    def update(self, loss: float, correct: float, count: float) -> None:
-        self._loss_sum += float(loss)
-        self._loss_batches += 1
-        self._correct += float(correct)
-        self._count += float(count)
+    def update(self, loss, correct, count) -> None:
+        """Record one batch.  Device scalars are accepted as-is — conversion
+        (a host sync) is deferred to `results()` so the training loop never
+        blocks on the device each step."""
+        self._pending.append((loss, correct, count))
+
+    def _drain(self) -> None:
+        if not self._pending:
+            return
+        # Stack on device, then fetch each reduced scalar once: on remote/
+        # tunneled backends every individual device->host read is a full
+        # round trip (~30-90 ms), so the fetch count — not just the sync
+        # point — must be O(1) per drain.
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        losses = jnp.stack([p[0] for p in self._pending])
+        corrects = jnp.stack([p[1] for p in self._pending])
+        counts = jnp.stack([p[2] for p in self._pending])
+        host = np.asarray(jnp.stack([jnp.sum(losses), jnp.sum(corrects), jnp.sum(counts)]))
+        self._loss_sum += float(host[0])
+        self._loss_batches += len(self._pending)
+        self._correct += float(host[1])
+        self._count += float(host[2])
+        self._pending.clear()
 
     @property
     def mean_loss(self) -> float:
+        self._drain()
         return self._loss_sum / max(self._loss_batches, 1)
 
     @property
     def accuracy(self) -> float:
+        self._drain()
         return self._correct / max(self._count, 1.0)
 
     def results(self) -> dict:

@@ -127,6 +127,29 @@ def gradient_mean_norms(grads, config) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def add_moments_summary(writer: "SummaryWriter", name: str, value, step: int) -> None:
+    """Log mean / stddev / max / min of a tensor — parity with
+    `training/tf_variable_summaries.py:3-22` (`add_moments_summary`)."""
+    arr = np.asarray(value)
+    writer.scalar(f"{name}/mean", float(arr.mean()), step)
+    writer.scalar(f"{name}/stddev", float(arr.std()), step)
+    writer.scalar(f"{name}/max", float(arr.max()), step)
+    writer.scalar(f"{name}/min", float(arr.min()), step)
+
+
+def add_mean_norm_summary(
+    writer: "SummaryWriter", name: str, value, step: int, order: int = 2
+) -> None:
+    """Log ||v||_order / size(v) — parity with
+    `training/tf_variable_summaries.py:24-38` (`add_mean_norm_summary`)."""
+    arr = np.asarray(value).reshape(-1)
+    writer.scalar(
+        f"{name}/mean_norm",
+        float(np.linalg.norm(arr, ord=order) / arr.size),
+        step,
+    )
+
+
 class CsvLogger:
     """Space-delimited CSV logger, column-compatible with the reference's
     gradient_history / evaluation_metrics files

@@ -111,6 +111,36 @@ def test_smoke_training_reduces_loss(tmp_path):
     trainer.close()
 
 
+def test_telemetry_chunk_boundary(tmp_path):
+    """Epoch telemetry crossing the 128-step on-device chunk boundary must
+    produce one CSV row per summaries_frequency steps with correct steps."""
+    train_x, train_y, *_ = synthetic_cifar10(256, 8, seed=1)
+    trainer = Training(
+        tiny_model(2),
+        train_features=train_x,
+        train_labels=train_y,
+        batch_size=2,
+        csv_logger_dir=str(tmp_path / "csv"),
+        csv_logger_name="chunk",
+    )
+    trainer.train(
+        epochs=1,
+        steps_per_epoch=130,
+        learning_rate_schedule=lambda s: 1e-3,
+        eval_frequency=None,
+        summaries_frequency=10,
+        verbose=False,
+    )
+    csv_dir = str(tmp_path / "csv")
+    train_csv = [f for f in os.listdir(csv_dir) if "training" in f][0]
+    th = TrainingHistory(os.path.join(csv_dir, train_csv))
+    np.testing.assert_array_equal(
+        th.training_steps, np.arange(10, 131, 10)
+    )
+    assert np.all(np.isfinite(th.gradient_norms))
+    trainer.close()
+
+
 def test_evaluate_and_predict(tmp_path):
     trainer = make_trainer(tmp_path)
     results = trainer.evaluate(dataset="val", num_steps=2)
