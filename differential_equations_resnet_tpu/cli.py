@@ -20,6 +20,17 @@ import time
 
 
 def _add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--model",
+        choices=["single_block", "resnet50", "resnet101", "resnet152"],
+        default="single_block",
+        help="single-block ODE-ResNet (v7 notebook) or a bottleneck preset "
+        "(v6 notebook's Caltech-256 ResNet-50 workflow)",
+    )
+    p.add_argument("--image-size", type=int, default=32)
+    p.add_argument("--num-classes", type=int, default=10)
+    p.add_argument("--resnet-version", type=float, default=1,
+                   choices=[1, 1.5], help="bottleneck striding variant")
     p.add_argument("--num-layers", type=int, default=64)
     p.add_argument("--num-filters", type=int, default=16)
     p.add_argument("--final-time", type=float, default=8.0)
@@ -35,6 +46,23 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
 
 
 def _build_model(args):
+    if getattr(args, "model", "single_block") != "single_block":
+        from differential_equations_resnet_tpu.models import (
+            build_resnet,
+            resnet_preset,
+        )
+
+        size = args.image_size
+        config = resnet_preset(
+            args.model,
+            num_classes=args.num_classes,
+            antisymmetric_mid=(args.kernel_type == "antisymmetric"),
+            image_shape=(size, size, 3),
+            version=args.resnet_version,
+            gamma=args.gamma,
+        )
+        return build_resnet(config)
+
     from differential_equations_resnet_tpu.models import (
         build_single_block_resnet,
         cifar10_single_block_config,
@@ -99,6 +127,7 @@ def cmd_train(args) -> int:
         save_dir=args.save_dir,
         monitor=args.monitor,
         summaries_frequency=args.summaries_frequency,
+        scan_steps=args.scan_steps,
     )
     print(json.dumps({"best": trainer.best_metrics}))
     trainer.close()
@@ -127,7 +156,12 @@ def cmd_evaluate(args) -> int:
 def cmd_benchmark(args) -> int:
     """Steps/sec + batch-1 inference latency — the reference's wall-clock and
     FPS micro-benchmarks (SURVEY.md section 5.1), plus an optional
-    jax.profiler trace."""
+    jax.profiler trace.
+
+    Timed regions are ended by FETCHING a value that depends on the last
+    step (not `block_until_ready`): on remote/tunneled TPU backends dispatch
+    is asynchronous and readiness can be acknowledged before device-side
+    completion, so only a fetch proves the work ran."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -135,43 +169,66 @@ def cmd_benchmark(args) -> int:
     from differential_equations_resnet_tpu.train import (
         create_train_state,
         make_adam,
+        make_multi_step,
         make_train_step,
     )
 
     model = _build_model(args)
     tx = make_adam()
     state = create_train_state(model, jax.random.key(0), tx)
-    step = make_train_step(model, tx)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 255, (args.batch_size, 32, 32, 3)), jnp.float32)
     y = jnp.asarray(rng.integers(0, 10, (args.batch_size,)))
 
-    for _ in range(5):
-        state, _, _ = step(state, x, y, 1e-3)
-    jax.block_until_ready(state)
+    scan_k = max(int(args.scan_steps), 0)
+    if scan_k > 1:
+        # K steps per dispatch inside one lax.scan (the remote-backend fast
+        # path); the same pre-staged batch repeats K times.
+        multi = make_multi_step(model, tx)
+        xs = jnp.broadcast_to(x, (scan_k,) + x.shape)
+        ys = jnp.broadcast_to(y, (scan_k,) + y.shape)
+        lrs = jnp.full((scan_k,), 1e-3, jnp.float32)
+        state, m, _ = multi(state, xs, ys, lrs)
+        _ = float(m["loss"][-1])
+        chunks = max(args.steps // scan_k, 1)
+        if args.profile_dir:
+            jax.profiler.start_trace(args.profile_dir)
+        t0 = time.perf_counter()
+        for _ in range(chunks):
+            state, m, _ = multi(state, xs, ys, lrs)
+        _ = float(m["loss"][-1])  # device-completion sync
+        train_sps = chunks * scan_k / (time.perf_counter() - t0)
+        if args.profile_dir:
+            jax.profiler.stop_trace()
+    else:
+        step = make_train_step(model, tx)
+        for _ in range(5):
+            state, m, _ = step(state, x, y, 1e-3)
+        _ = float(m["loss"])
 
-    if args.profile_dir:
-        jax.profiler.start_trace(args.profile_dir)
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, _, _ = step(state, x, y, 1e-3)
-    jax.block_until_ready(state)
-    train_sps = args.steps / (time.perf_counter() - t0)
-    if args.profile_dir:
-        jax.profiler.stop_trace()
+        if args.profile_dir:
+            jax.profiler.start_trace(args.profile_dir)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, m, _ = step(state, x, y, 1e-3)
+        _ = float(m["loss"])  # device-completion sync
+        train_sps = args.steps / (time.perf_counter() - t0)
+        if args.profile_dir:
+            jax.profiler.stop_trace()
 
-    # Batch-1 inference latency (v7 notebook cells 19-25).
+    # Batch-1 inference (v7 notebook cells 19-25): pipelined throughput over
+    # 100 dispatches, synced by fetching a scalar of the final output.
     @jax.jit
     def fwd(params, model_state, images):
         out, _ = model.apply(params, model_state, images)
         return out
 
     x1 = x[:1]
-    fwd(state.params, state.model_state, x1).block_until_ready()
+    _ = float(fwd(state.params, state.model_state, x1)[0, 0])
     t0 = time.perf_counter()
     for _ in range(100):
         out = fwd(state.params, state.model_state, x1)
-    out.block_until_ready()
+    _ = float(out[0, 0])  # device-completion sync
     latency_ms = (time.perf_counter() - t0) / 100 * 1e3
 
     print(
@@ -244,6 +301,8 @@ def main(argv=None) -> int:
     p.add_argument("--save-dir", default=None)
     p.add_argument("--monitor", choices=["loss", "accuracy"], default="loss")
     p.add_argument("--summaries-frequency", type=int, default=10)
+    p.add_argument("--scan-steps", type=int, default=0,
+                   help="K>1: run K train steps per dispatch via lax.scan")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate")
@@ -257,6 +316,8 @@ def main(argv=None) -> int:
     _add_model_args(p)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--scan-steps", type=int, default=0,
+                   help="K>1: run K steps per dispatch via make_multi_step")
     p.add_argument("--profile-dir", default=None)
     p.set_defaults(fn=cmd_benchmark)
 

@@ -11,3 +11,6 @@ from differential_equations_resnet_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_params,
 )
+from differential_equations_resnet_tpu.parallel.shard_map_step import (  # noqa: F401
+    make_shard_map_train_step,
+)

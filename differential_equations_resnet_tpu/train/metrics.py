@@ -25,9 +25,10 @@ class StreamingMetrics:
         self._count = 0.0
 
     def update(self, loss, correct, count) -> None:
-        """Record one batch.  Device scalars are accepted as-is — conversion
-        (a host sync) is deferred to `results()` so the training loop never
-        blocks on the device each step."""
+        """Record one batch — or a stacked (K,) vector of K batches, as
+        produced by the multi-step scan trainer.  Device values are accepted
+        as-is — conversion (a host sync) is deferred to `results()` so the
+        training loop never blocks on the device each step."""
         self._pending.append((loss, correct, count))
 
     def _drain(self) -> None:
@@ -37,16 +38,15 @@ class StreamingMetrics:
         # tunneled backends every individual device->host read is a full
         # round trip (~30-90 ms), so the fetch count — not just the sync
         # point — must be O(1) per drain.
-        import jax
         import jax.numpy as jnp
         import numpy as np
 
-        losses = jnp.stack([p[0] for p in self._pending])
-        corrects = jnp.stack([p[1] for p in self._pending])
-        counts = jnp.stack([p[2] for p in self._pending])
+        losses = jnp.concatenate([jnp.atleast_1d(p[0]) for p in self._pending])
+        corrects = jnp.concatenate([jnp.atleast_1d(p[1]) for p in self._pending])
+        counts = jnp.concatenate([jnp.atleast_1d(p[2]) for p in self._pending])
         host = np.asarray(jnp.stack([jnp.sum(losses), jnp.sum(corrects), jnp.sum(counts)]))
         self._loss_sum += float(host[0])
-        self._loss_batches += len(self._pending)
+        self._loss_batches += int(losses.shape[0])
         self._correct += float(host[1])
         self._count += float(host[2])
         self._pending.clear()

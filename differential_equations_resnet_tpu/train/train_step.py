@@ -74,19 +74,9 @@ def _set_lr(opt_state, lr):
     )
 
 
-def make_train_step(
-    model,
-    tx,
-    mesh: Optional[Mesh] = None,
-    with_gradient_metrics: bool = True,
-    donate: bool = True,
-):
-    """Build the jitted train step:
-    (state, images, labels, lr) -> (state, metrics, grad_norms).
-
-    metrics = {'loss', 'correct', 'count'} (device scalars for the streaming
-    accumulators); grad_norms = (1 + num_layers,) per SURVEY.md section 5.5.
-    """
+def _build_step_fn(model, tx, with_gradient_metrics: bool = True):
+    """The raw (unjitted) train step:
+    (state, images, labels, lr) -> (state, metrics, grad_norms)."""
     config = model.config
 
     def loss_fn(params, model_state, images, labels):
@@ -128,6 +118,23 @@ def make_train_step(
         )
         return new_state, metrics, grad_norms
 
+    return step_fn
+
+
+def make_train_step(
+    model,
+    tx,
+    mesh: Optional[Mesh] = None,
+    with_gradient_metrics: bool = True,
+    donate: bool = True,
+):
+    """Build the jitted train step:
+    (state, images, labels, lr) -> (state, metrics, grad_norms).
+
+    metrics = {'loss', 'correct', 'count'} (device scalars for the streaming
+    accumulators); grad_norms = (1 + num_layers,) per SURVEY.md section 5.5.
+    """
+    step_fn = _build_step_fn(model, tx, with_gradient_metrics)
     donate_argnums = (0,) if donate else ()
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=donate_argnums)
@@ -136,6 +143,55 @@ def make_train_step(
     return jax.jit(
         step_fn,
         in_shardings=(replicated, data, data, None),
+        out_shardings=(replicated, replicated, replicated),
+        donate_argnums=donate_argnums,
+    )
+
+
+def make_multi_step(
+    model,
+    tx,
+    mesh: Optional[Mesh] = None,
+    with_gradient_metrics: bool = True,
+    donate: bool = True,
+    unroll: int = 1,
+):
+    """Build a jitted K-step trainer: one `lax.scan` over K pre-staged batches,
+
+        (state, images (K,B,H,W,C), labels (K,B), lrs (K,))
+            -> (state, metrics {each (K,)}, grad_norms (K, 1+L)),
+
+    i.e. K full train steps in ONE XLA executable with per-step telemetry
+    stacked on device.  This is the remote-backend fast path: a single
+    dispatch and a single device->host fetch per K steps, where the
+    per-step-dispatch loop pays a tunnel round trip each iteration.  It is
+    also the honest way to *measure* throughput on asynchronous backends:
+    fetching an element of the returned metrics proves all K steps ran.
+
+    K is baked into the compiled executable (static shape); reuse the same K
+    across calls to avoid recompiles.
+    """
+    step_fn = _build_step_fn(model, tx, with_gradient_metrics)
+
+    def multi_fn(state: TrainState, images, labels, lrs):
+        def body(carry, xs):
+            x, y, lr = xs
+            new_state, metrics, grad_norms = step_fn(carry, x, y, lr)
+            return new_state, (metrics, grad_norms)
+
+        state, (metrics, grad_norms) = jax.lax.scan(
+            body, state, (images, labels, lrs), unroll=unroll
+        )
+        return state, metrics, grad_norms
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(multi_fn, donate_argnums=donate_argnums)
+    replicated = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, "data"))  # (K, B, ...): shard batch dim
+    return jax.jit(
+        multi_fn,
+        in_shardings=(replicated, data, data, replicated),
         out_shardings=(replicated, replicated, replicated),
         donate_argnums=donate_argnums,
     )

@@ -122,6 +122,15 @@ class Training:
                 [m["loss"][None], m["correct"][None], m["count"][None], g]
             )
         )
+        # Stacked variant for the multi-step scan path: (K,) metrics +
+        # (K, W) grad norms -> (K, 3 + W) telemetry rows.
+        self._pack_rows = jax.jit(
+            lambda m, g: jnp.concatenate(
+                [m["loss"][:, None], m["correct"][:, None], m["count"][:, None], g],
+                axis=1,
+            )
+        )
+        self._multi_steps: dict = {}  # scan_steps K -> compiled K-step trainer
 
         # -- metrics / logging -------------------------------------------------
         self.train_metrics = StreamingMetrics()
@@ -189,10 +198,17 @@ class Training:
         saver: str = "orbax",
         monitor: str = "loss",
         summaries_frequency: int = 10,
+        scan_steps: int = 0,
         verbose: bool = True,
     ) -> dict:
         """Run the training loop (argument surface mirrors the reference
-        `Training.train`, training/training.py:473-488)."""
+        `Training.train`, training/training.py:473-488).
+
+        `scan_steps=K > 1` runs K steps per dispatch through one compiled
+        `lax.scan` (see `make_multi_step`): a single host<->device round trip
+        per K steps, with identical numerics and per-step telemetry.  This is
+        the recommended mode on remote/tunneled TPU backends; any epoch
+        remainder (steps_per_epoch % K) runs through the single-step path."""
         if self._train_iter is None:
             raise ValueError("No training dataset was provided.")
         if monitor not in ("loss", "accuracy"):
@@ -203,6 +219,19 @@ class Training:
                 raise ValueError("save_during_training=True requires save_dir.")
             checkpointer = Checkpointer(save_dir, backend=saver)
 
+        scan_k = int(scan_steps) if scan_steps and scan_steps > 1 else 0
+        if scan_k:
+            if scan_k not in self._multi_steps:
+                from differential_equations_resnet_tpu.train.train_step import (
+                    make_multi_step,
+                )
+
+                self._multi_steps[scan_k] = make_multi_step(
+                    self.model, self.tx, mesh=self.mesh,
+                    with_gradient_metrics="mean_gradient_norms" in self.summaries,
+                )
+            multi_step = self._multi_steps[scan_k]
+
         for epoch in range(1, epochs + 1):
             self.train_metrics.reset()
             epoch_start = time.time()
@@ -211,13 +240,47 @@ class Training:
             chunk = 128         # fixed so the on-device stack compiles once
             lrs = []
             epoch_first_step = self.global_step + 1
-            for _ in range(steps_per_epoch):
+            steps_done = 0
+            while steps_done < steps_per_epoch:
+                if scan_k and steps_per_epoch - steps_done >= scan_k:
+                    # K steps in one dispatch (make_multi_step docstring).
+                    k_lrs = np.asarray(
+                        [float(learning_rate_schedule(self.global_step + i))
+                         for i in range(scan_k)],
+                        np.float32,
+                    )
+                    batches = [next(self._train_iter) for _ in range(scan_k)]
+                    images = np.stack([b[0] for b in batches])
+                    labels = np.stack([b[1] for b in batches])
+                    if self.mesh is not None:
+                        from jax.sharding import NamedSharding, PartitionSpec as P
+
+                        sh = NamedSharding(self.mesh, P(None, "data"))
+                        images = jax.device_put(images, sh)
+                        labels = jax.device_put(labels, sh)
+                    self.state, metrics, grad_norms = multi_step(
+                        self.state, images, labels, jnp.asarray(k_lrs)
+                    )
+                    self._host_step += scan_k
+                    steps_done += scan_k
+                    if self.record_summaries:
+                        if pending_rows:  # keep telemetry rows step-ordered
+                            row_chunks.append(jnp.stack(pending_rows))
+                            pending_rows = []
+                        row_chunks.append(self._pack_rows(metrics, grad_norms))
+                        lrs.extend(float(v) for v in k_lrs)
+                    else:
+                        self.train_metrics.update(
+                            metrics["loss"], metrics["correct"], metrics["count"]
+                        )
+                    continue
                 lr = float(learning_rate_schedule(self.global_step))
                 images, labels = self._device_batch(next(self._train_iter))
                 self.state, metrics, grad_norms = self._train_step(
                     self.state, images, labels, lr
                 )
                 self._host_step += 1
+                steps_done += 1
                 if self.record_summaries:
                     pending_rows.append(self._pack_row(metrics, grad_norms))
                     if len(pending_rows) == chunk:

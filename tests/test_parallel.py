@@ -129,3 +129,56 @@ def test_two_axis_mesh_dp_tp_compiles():
     out = forward(params, x)
     assert out.shape == (8, 10)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_shard_map_train_step_matches_jit_dp():
+    """Explicit shard_map+psum DP step == declarative jit-sharded DP step
+    == single-device step (SURVEY.md section 2.2 item 3)."""
+    import jax.numpy as jnp
+    from differential_equations_resnet_tpu.models import (
+        build_single_block_resnet,
+        cifar10_single_block_config,
+    )
+    from differential_equations_resnet_tpu.parallel import (
+        create_mesh,
+        make_shard_map_train_step,
+    )
+    from differential_equations_resnet_tpu.train import (
+        create_train_state,
+        make_adam,
+        make_train_step,
+    )
+
+    model = build_single_block_resnet(
+        cifar10_single_block_config(num_layers=3, num_filters=8)
+    )
+    tx = make_adam()
+    key = jax.random.key(11)
+    rng = np.random.default_rng(2)
+    B = 16
+    x = jnp.asarray(rng.uniform(0, 255, (B, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, (B,)))
+
+    s_ref = create_train_state(model, key, tx)
+    ref_step = make_train_step(model, tx, donate=False)
+    s_ref, m_ref, g_ref = ref_step(s_ref, x, y, 1e-3)
+
+    mesh = create_mesh((8,), ("data",))
+    s_sm = create_train_state(model, key, tx)
+    sm_step = make_shard_map_train_step(model, tx, mesh, donate=False)
+    s_sm, m_sm, g_sm = sm_step(s_sm, x, y, jnp.asarray(1e-3, jnp.float32))
+
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_sm["loss"]), rtol=1e-5
+    )
+    assert float(m_sm["correct"]) == float(m_ref["correct"])
+    assert float(m_sm["count"]) == B
+    np.testing.assert_allclose(
+        np.asarray(g_ref), np.asarray(g_sm), rtol=1e-4, atol=1e-7
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        s_ref.params, s_sm.params,
+    )

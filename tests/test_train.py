@@ -243,3 +243,110 @@ def test_gradient_metric_names_with_conv_blocks():
         "res3_1_branch2_kernel_gradient_mean_norm",
         "res3_2_branch2_kernel_gradient_mean_norm",
     ]
+
+
+def test_multi_step_matches_sequential_single_steps():
+    """K scanned steps == K sequential jitted steps, bitwise-comparable
+    numerics (same math, same order)."""
+    from differential_equations_resnet_tpu.train import make_multi_step
+
+    model = tiny_model(3, 8)
+    tx = make_adam()
+    key = jax.random.key(7)
+    rng = np.random.default_rng(3)
+    K, B = 4, 16
+    xs = jnp.asarray(rng.uniform(0, 255, (K, B, 32, 32, 3)), jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 10, (K, B)))
+    lrs = jnp.asarray([1e-3, 9e-4, 8e-4, 7e-4], jnp.float32)
+
+    s1 = create_train_state(model, key, tx)
+    step = make_train_step(model, tx, donate=False)
+    single_losses, single_norms = [], []
+    for i in range(K):
+        s1, m, g = step(s1, xs[i], ys[i], lrs[i])
+        single_losses.append(float(m["loss"]))
+        single_norms.append(np.asarray(g))
+
+    s2 = create_train_state(model, key, tx)
+    multi = make_multi_step(model, tx, donate=False)
+    s2, metrics, norms = multi(s2, xs, ys, lrs)
+
+    np.testing.assert_allclose(
+        np.asarray(metrics["loss"]), np.asarray(single_losses), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(norms), np.stack(single_norms), rtol=1e-5
+    )
+    assert int(s2.step) == K
+    chex = jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        s1.params, s2.params,
+    )
+    del chex
+
+
+def test_multi_step_data_parallel_matches_single_device():
+    """Multi-step under a 'data' mesh reproduces single-device numerics."""
+    from differential_equations_resnet_tpu.parallel import create_mesh
+    from differential_equations_resnet_tpu.train import make_multi_step
+
+    model = tiny_model(2, 8)
+    tx = make_adam()
+    key = jax.random.key(1)
+    rng = np.random.default_rng(5)
+    K, B = 3, 16
+    xs = jnp.asarray(rng.uniform(0, 255, (K, B, 32, 32, 3)), jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 10, (K, B)))
+    lrs = jnp.full((K,), 1e-3, jnp.float32)
+
+    s1 = create_train_state(model, key, tx)
+    ref_multi = make_multi_step(model, tx, donate=False)
+    s1, m1, _ = ref_multi(s1, xs, ys, lrs)
+
+    mesh = create_mesh((8,), ("data",))
+    s2 = create_train_state(model, key, tx)
+    dp_multi = make_multi_step(model, tx, mesh=mesh, donate=False)
+    s2, m2, _ = dp_multi(s2, xs, ys, lrs)
+
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        s1.params, s2.params,
+    )
+
+
+def test_training_scan_steps_equivalent(tmp_path):
+    """Training with scan_steps=K produces the same history and telemetry
+    CSV rows as the per-step path (same data order, same numerics)."""
+    hist = {}
+    csvs = {}
+    for mode, scan in (("single", 0), ("scan", 4)):
+        trainer = make_trainer(tmp_path / mode)
+        trainer.train(
+            epochs=1,
+            steps_per_epoch=6,   # 4-step chunk + 2-step remainder
+            learning_rate_schedule=constant_schedule(1e-3),
+            eval_steps=2,
+            summaries_frequency=1,
+            scan_steps=scan,
+        )
+        hist[mode] = trainer.history
+        csv_dir = tmp_path / mode / "csv"
+        (train_csv,) = [p for p in os.listdir(csv_dir) if "training" in p]
+        csvs[mode] = np.loadtxt(csv_dir / train_csv, skiprows=1)
+        trainer.close()
+
+    assert hist["single"]["train"][0]["step"] == hist["scan"]["train"][0]["step"] == 6
+    np.testing.assert_allclose(
+        hist["single"]["train"][0]["mean_loss"],
+        hist["scan"]["train"][0]["mean_loss"],
+        rtol=1e-5,
+    )
+    assert csvs["single"].shape == csvs["scan"].shape
+    np.testing.assert_allclose(csvs["single"], csvs["scan"], rtol=1e-4, atol=1e-6)
