@@ -8,6 +8,7 @@ from differential_equations_resnet_tpu.ops.antisymmetric import (  # noqa: F401
     init_antisym_3x3,
     init_antisym_kxk,
     materialize_3x3,
+    materialize_3x3_stacked,
     materialize_kxk,
     num_cross_pairs,
     num_diag_free,

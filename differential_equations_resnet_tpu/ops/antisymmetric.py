@@ -159,6 +159,41 @@ def materialize_3x3(params: Antisym3x3Params, gamma: float = 0.0) -> jax.Array:
     return kernel
 
 
+def materialize_3x3_stacked(params: Antisym3x3Params, gamma: float = 0.0) -> jax.Array:
+    """Stacked packed params (leading layer axis L) -> dense (L, 3, 3, C, C)
+    kernels in ONE vectorized scatter.
+
+    Materializing all layers before the depth-scan (instead of once per scan
+    iteration) is a large win on TPU: scatters serialize poorly, and 1 scatter
+    over (L, ...) costs far less than L scatters inside the loop — measured
+    ~60% of the whole train-step time for the 64-layer/16-filter headline
+    config when done per-iteration.  The dense stack for 64x16ch is 590 KB —
+    negligible HBM traffic for the scan to re-read per layer.
+    """
+    a, b, c, d = params.a, params.b, params.c, params.d  # each (L, C)
+    num_layers, channels = a.shape
+    g = jnp.full_like(a, gamma)
+    # (L, 3, 3, C) diagonal blocks: [[a, b, c], [d, g, -d], [-c, -b, -a]]
+    diag = jnp.stack(
+        [
+            jnp.stack([a, b, c], axis=1),
+            jnp.stack([d, g, -d], axis=1),
+            jnp.stack([-c, -b, -a], axis=1),
+        ],
+        axis=1,
+    )
+    kernel = jnp.zeros((num_layers, 3, 3, channels, channels), dtype=a.dtype)
+    idx = jnp.arange(channels)
+    kernel = kernel.at[:, :, :, idx, idx].set(diag)
+    c_in, c_out = cross_pair_indices(channels)
+    if c_in.size:
+        kernel = kernel.at[:, :, :, c_in, c_out].set(params.cross)
+        kernel = kernel.at[:, :, :, c_out, c_in].set(
+            -params.cross[:, ::-1, ::-1, :]
+        )
+    return kernel
+
+
 def pack_3x3(kernel: jax.Array, bias: Optional[jax.Array] = None) -> Antisym3x3Params:
     """Inverse of :func:`materialize_3x3` (up to the constant gamma center):
     extract the packed free parameters from a dense (3, 3, C, C) kernel.

@@ -227,3 +227,26 @@ def test_stacked_layers_vmap():
         Antisym3x3Params(*[leaf[2] for leaf in stacked]), gamma=0.1
     )
     np.testing.assert_allclose(np.asarray(kernels[2]), np.asarray(single), atol=0)
+
+
+def test_materialize_3x3_stacked_matches_per_layer():
+    """materialize_3x3_stacked == vmap of the single-layer materialize (the
+    pre-scan bulk materialization must be bit-identical)."""
+    from differential_equations_resnet_tpu.ops.antisymmetric import (
+        init_antisym_3x3,
+        materialize_3x3,
+        materialize_3x3_stacked,
+    )
+
+    L, C, gamma = 5, 12, 0.37
+    keys = jax.random.split(jax.random.key(3), L)
+    per_layer = [init_antisym_3x3(k, C) for k in keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+
+    dense_stacked = materialize_3x3_stacked(stacked, gamma)
+    assert dense_stacked.shape == (L, 3, 3, C, C)
+    for l in range(L):
+        np.testing.assert_array_equal(
+            np.asarray(dense_stacked[l]),
+            np.asarray(materialize_3x3(per_layer[l], gamma)),
+        )
