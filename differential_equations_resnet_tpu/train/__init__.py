@@ -20,6 +20,7 @@ from differential_equations_resnet_tpu.train.train_step import (  # noqa: F401
     create_train_state,
     make_adam,
     make_eval_step,
+    make_multi_eval_step,
     make_multi_step,
     make_predict_step,
     make_train_step,

@@ -197,11 +197,7 @@ def make_multi_step(
     )
 
 
-def make_eval_step(model, mesh: Optional[Mesh] = None):
-    """(params, model_state, images, labels) -> metrics dict (loss on softmax
-    CE, correct count, count) — the reference's `_evaluate` fetches
-    (`training/training.py:670-706`)."""
-
+def _make_eval_fn(model):
     def step_fn(params, model_state, images, labels):
         logits, _ = model.apply(
             params, model_state, images, train=False, return_logits=True
@@ -217,12 +213,49 @@ def make_eval_step(model, mesh: Optional[Mesh] = None):
             "count": jnp.asarray(images.shape[0], jnp.float32),
         }
 
+    return step_fn
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None):
+    """(params, model_state, images, labels) -> metrics dict (loss on softmax
+    CE, correct count, count) — the reference's `_evaluate` fetches
+    (`training/training.py:670-706`)."""
+
+    step_fn = _make_eval_fn(model)
+
     if mesh is None:
         return jax.jit(step_fn)
     replicated = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
         step_fn,
+        in_shardings=(replicated, replicated, data, data),
+        out_shardings=replicated,
+    )
+
+
+def make_multi_eval_step(model, mesh: Optional[Mesh] = None, unroll: int = 1):
+    """K-batch evaluation in one dispatch:
+    (params, model_state, images (K,B,...), labels (K,B)) -> metrics {(K,)}.
+    The evaluation analogue of `make_multi_step` — one host<->device round
+    trip per K batches instead of per batch."""
+
+    single = _make_eval_fn(model)
+
+    def multi_fn(params, model_state, images, labels):
+        def body(_, xy):
+            x, y = xy
+            return None, single(params, model_state, x, y)
+
+        _, metrics = jax.lax.scan(body, None, (images, labels), unroll=unroll)
+        return metrics
+
+    if mesh is None:
+        return jax.jit(multi_fn)
+    replicated = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        multi_fn,
         in_shardings=(replicated, replicated, data, data),
         out_shardings=replicated,
     )

@@ -131,6 +131,7 @@ class Training:
             )
         )
         self._multi_steps: dict = {}  # scan_steps K -> compiled K-step trainer
+        self._multi_evals: dict = {}  # K -> compiled K-batch eval
 
         # -- metrics / logging -------------------------------------------------
         self.train_metrics = StreamingMetrics()
@@ -348,7 +349,7 @@ class Training:
                 and self._val_iter is not None
                 and epoch % eval_frequency == 0
             ):
-                eval_results = self._evaluate(eval_steps)
+                eval_results = self._evaluate(eval_steps, scan_k=scan_k)
                 self.history["eval"].append(
                     {"epoch": epoch, "step": self.global_step, **eval_results}
                 )
@@ -395,23 +396,70 @@ class Training:
 
     # -- evaluation ---------------------------------------------------------------
 
-    def _evaluate(self, eval_steps: Optional[int]) -> dict:
+    def _eval_one(self, batch) -> None:
+        images, labels = self._device_batch(batch)
+        metrics = self._eval_step(
+            self.state.params, self.state.model_state, images, labels
+        )
+        self.eval_metrics.update(
+            metrics["loss"], metrics["correct"], metrics["count"]
+        )
+
+    def _run_eval(self, iterator, num_steps: int, scan_k: int = 0) -> dict:
+        """Evaluate num_steps batches; with scan_k > 1, K batches per dispatch
+        through `make_multi_eval_step` (ragged final batches fall back to the
+        single-batch path)."""
         self.eval_metrics.reset()
-        if eval_steps is None:
-            raise ValueError("eval_steps must be provided for a repeated dataset.")
-        for _ in range(eval_steps):
-            images, labels = self._device_batch(next(self._val_iter))
-            metrics = self._eval_step(
-                self.state.params, self.state.model_state, images, labels
-            )
-            self.eval_metrics.update(
-                metrics["loss"], metrics["correct"], metrics["count"]
-            )
+        done = 0
+        while done < num_steps:
+            if scan_k > 1 and num_steps - done >= scan_k:
+                batches = [next(iterator) for _ in range(scan_k)]
+                if len({b[0].shape for b in batches}) == 1:
+                    if scan_k not in self._multi_evals:
+                        from differential_equations_resnet_tpu.train.train_step import (
+                            make_multi_eval_step,
+                        )
+
+                        self._multi_evals[scan_k] = make_multi_eval_step(
+                            self.model, mesh=self.mesh
+                        )
+                    images = np.stack([b[0] for b in batches])
+                    labels = np.stack([b[1] for b in batches])
+                    if self.mesh is not None:
+                        from jax.sharding import NamedSharding, PartitionSpec as P
+
+                        sh = NamedSharding(self.mesh, P(None, "data"))
+                        images = jax.device_put(images, sh)
+                        labels = jax.device_put(labels, sh)
+                    metrics = self._multi_evals[scan_k](
+                        self.state.params, self.state.model_state, images, labels
+                    )
+                    self.eval_metrics.update(
+                        metrics["loss"], metrics["correct"], metrics["count"]
+                    )
+                else:  # ragged chunk (e.g. epoch-boundary partial batch)
+                    for batch in batches:
+                        self._eval_one(batch)
+                done += scan_k
+            else:
+                self._eval_one(next(iterator))
+                done += 1
         return self.eval_metrics.results()
 
-    def evaluate(self, dataset: str = "val", num_steps: Optional[int] = None) -> dict:
+    def _evaluate(self, eval_steps: Optional[int], scan_k: int = 0) -> dict:
+        if eval_steps is None:
+            raise ValueError("eval_steps must be provided for a repeated dataset.")
+        return self._run_eval(self._val_iter, eval_steps, scan_k)
+
+    def evaluate(
+        self,
+        dataset: str = "val",
+        num_steps: Optional[int] = None,
+        scan_steps: int = 0,
+    ) -> dict:
         """Standalone evaluation (reference `evaluate`,
-        training/training.py:708-750)."""
+        training/training.py:708-750).  `scan_steps=K > 1` evaluates K
+        batches per dispatch."""
         if dataset == "train":
             iterator = self._train_iter
         elif dataset == "val":
@@ -420,16 +468,7 @@ class Training:
             raise ValueError("dataset must be 'train' or 'val'.")
         if iterator is None:
             raise ValueError(f"No {dataset} dataset available.")
-        self.eval_metrics.reset()
-        for _ in range(num_steps):
-            images, labels = self._device_batch(next(iterator))
-            metrics = self._eval_step(
-                self.state.params, self.state.model_state, images, labels
-            )
-            self.eval_metrics.update(
-                metrics["loss"], metrics["correct"], metrics["count"]
-            )
-        return self.eval_metrics.results()
+        return self._run_eval(iterator, num_steps, scan_steps)
 
     # -- inference -----------------------------------------------------------------
 

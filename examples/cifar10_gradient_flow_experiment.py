@@ -60,6 +60,7 @@ def run_variant(kernel_type, args, data, out_dir):
         learning_rate_schedule=lambda step: 1e-3,
         eval_steps=eval_steps,
         summaries_frequency=10,
+        scan_steps=args.scan_steps,
     )
     trainer.close()
     train_csv = sorted(glob.glob(os.path.join(out_dir, f"{name}_*_training.csv")))[-1]
@@ -89,6 +90,8 @@ def main():
     parser.add_argument("--num-filters", type=int, default=16)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--out-dir", default="./local/gradient_flow")
+    parser.add_argument("--scan-steps", type=int, default=0,
+                        help="K>1: K train steps per dispatch (remote-TPU fast path)")
     args = parser.parse_args()
 
     cifar_dir = args.cifar10_dir or find_cifar10_directory()

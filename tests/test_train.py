@@ -350,3 +350,31 @@ def test_training_scan_steps_equivalent(tmp_path):
     )
     assert csvs["single"].shape == csvs["scan"].shape
     np.testing.assert_allclose(csvs["single"], csvs["scan"], rtol=1e-4, atol=1e-6)
+
+
+def test_multi_eval_and_scanned_evaluate_match(tmp_path):
+    """make_multi_eval_step == per-batch eval; Training.evaluate(scan_steps=K)
+    == the per-batch path, including a ragged final chunk."""
+    from differential_equations_resnet_tpu.train import make_multi_eval_step
+
+    trainer = make_trainer(tmp_path)
+    # 64 val examples, batch 32 -> 2 equal batches; num_steps=3 wraps to a
+    # third batch via repeat (all equal shape here).
+    ref = trainer.evaluate("val", num_steps=4)
+    scanned = trainer.evaluate("val", num_steps=4, scan_steps=2)
+    np.testing.assert_allclose(ref["mean_loss"], scanned["mean_loss"], rtol=1e-6)
+    np.testing.assert_allclose(ref["accuracy"], scanned["accuracy"], rtol=1e-6)
+
+    # Direct: stacked multi-eval equals stacked single evals.
+    multi = make_multi_eval_step(trainer.model)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.uniform(0, 255, (3, 16, 32, 32, 3)), jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 10, (3, 16)))
+    m = multi(trainer.state.params, trainer.state.model_state, xs, ys)
+    for i in range(3):
+        s = trainer._eval_step(
+            trainer.state.params, trainer.state.model_state, xs[i], ys[i]
+        )
+        np.testing.assert_allclose(float(m["loss"][i]), float(s["loss"]), rtol=1e-5)
+        assert float(m["correct"][i]) == float(s["correct"])
+    trainer.close()
