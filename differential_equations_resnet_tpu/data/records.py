@@ -307,6 +307,56 @@ class RecordDatasetCreator:
             dataset = dataset.prefetch(self.prefetch)
         return dataset
 
+    def create_native_dataset(
+        self,
+        image_shape,
+        num_threads: int = 4,
+        ring_capacity: int = 4096,
+        verify_crc: bool = True,
+    ) -> NumpyDataset:
+        """Batches via the C++ threaded loader (native/dert_loader.cc):
+        shard-parallel reads, bounded-ring prefetch, per-epoch file shuffle,
+        reservoir record shuffle — the role tf.data's C++ runtime plays in
+        the reference (tfrecord_dataset_creator.py:35-36,66-71).
+
+        Raw fixed-`image_shape` shards only; the Python preprocessor chain
+        is bypassed (apply further transforms with `.map` on the returned
+        dataset).  Raises RuntimeError when the native library cannot build
+        — use `create_dataset()` as the portable path."""
+        from differential_equations_resnet_tpu.native.loader import (
+            NativeRecordLoader,
+        )
+
+        if self.batch_size is None:
+            raise ValueError("create_native_dataset requires a batch_size.")
+        paths = list(self.record_paths)
+        batch_size = self.batch_size
+        repeat = self.repeat
+        shuffle_buffer = (
+            int(self.shuffle_buffer_size or 0) if self.shuffle else 0
+        )
+        seed = int(self.seed or 0)
+        shape = tuple(image_shape)
+
+        def source():
+            loader = NativeRecordLoader(
+                paths,
+                shape,
+                batch_size=batch_size,
+                repeat=repeat,
+                verify_crc=verify_crc,
+                num_threads=num_threads,
+                shuffle_buffer_size=shuffle_buffer,
+                seed=seed,
+                ring_capacity=ring_capacity,
+            )
+            try:
+                yield from loader
+            finally:
+                loader.close()
+
+        return NumpyDataset.from_generator(source)
+
     def create_dataset(self) -> NumpyDataset:
         return self._process()
 

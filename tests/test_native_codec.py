@@ -83,3 +83,90 @@ def test_creator_uses_native_path(tmp_path):
     out = list(creator.create_dataset())
     assert len(out) == 30
     np.testing.assert_array_equal(np.stack([i for i, _ in out]), images)
+
+
+def _loader_available():
+    from differential_equations_resnet_tpu.native import native_loader_available
+
+    return native_loader_available()
+
+
+@pytest.mark.skipif(not _loader_available(), reason="native loader unavailable")
+def test_native_loader_reads_all_records_once(tmp_path):
+    """Non-repeating native loader yields every record exactly once
+    (any order — shards are read in parallel)."""
+    from differential_equations_resnet_tpu.native import NativeRecordLoader
+    from differential_equations_resnet_tpu.data.records import get_record_paths
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (100, 8, 8, 3), dtype=np.uint8)
+    labels = rng.integers(0, 10, (100,)).astype(np.int64)
+    RecordGenerator().write_arrays(
+        images, labels, str(tmp_path), num_files_per_record=25
+    )
+    loader = NativeRecordLoader(
+        get_record_paths(str(tmp_path)), (8, 8, 3), batch_size=16,
+        repeat=False, num_threads=3, seed=1,
+    )
+    batches = list(loader)
+    got_images = np.concatenate([b[0] for b in batches])
+    got_labels = np.concatenate([b[1] for b in batches])
+    assert got_images.shape == (100, 8, 8, 3)
+    key = lambda a, l: sorted(
+        zip([bytes(x) for x in a.reshape(len(a), -1)], l.tolist())
+    )
+    assert key(got_images, got_labels) == key(images, labels)
+
+
+@pytest.mark.skipif(not _loader_available(), reason="native loader unavailable")
+def test_native_loader_repeat_shuffle_and_creator_integration(tmp_path):
+    """Repeat mode streams forever; shuffled epochs differ; the
+    RecordDatasetCreator.create_native_dataset wrapper composes with
+    NumpyDataset transforms."""
+    from differential_equations_resnet_tpu.data.records import get_record_paths
+
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 255, (64, 8, 8, 3), dtype=np.uint8)
+    labels = np.arange(64, dtype=np.int64) % 10
+    RecordGenerator().write_arrays(
+        images, labels, str(tmp_path), num_files_per_record=16
+    )
+    creator = RecordDatasetCreator(
+        get_record_paths(str(tmp_path)),
+        batch_size=32,
+        repeat=True,
+        shuffle=True,
+        shuffle_buffer_size=64,
+        seed=3,
+    )
+    ds = creator.create_native_dataset((8, 8, 3)).map(
+        lambda images_b, labels_b: (images_b.astype(np.float32), labels_b)
+    )
+    it = iter(ds)
+    valid = set(bytes(x) for x in images.reshape(64, -1))
+    label_seqs = []
+    for _ in range(6):
+        bi, bl = next(it)
+        assert bi.shape == (32, 8, 8, 3) and bi.dtype == np.float32
+        for x in bi.astype(np.uint8).reshape(32, -1):
+            assert bytes(x) in valid
+        label_seqs.append(tuple(bl.tolist()))
+    # Shuffling: the stream is not one fixed repeating order.
+    assert len(set(label_seqs)) > 1
+
+
+@pytest.mark.skipif(not _loader_available(), reason="native loader unavailable")
+def test_native_loader_detects_corruption(tmp_path):
+    """A flipped payload byte surfaces as a CRC error."""
+    from differential_equations_resnet_tpu.native import NativeRecordLoader
+
+    images, labels, *_ = synthetic_cifar10(10, 1, seed=6)
+    (path,) = RecordGenerator().write_arrays(
+        images, labels.astype(np.int64), str(tmp_path)
+    )
+    data = bytearray(open(path, "rb").read())
+    data[200] ^= 0xFF
+    open(path, "wb").write(bytes(data))
+    loader = NativeRecordLoader([path], (32, 32, 3), batch_size=4, repeat=False)
+    with pytest.raises(ValueError, match="CRC"):
+        list(loader)
