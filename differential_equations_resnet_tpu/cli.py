@@ -269,6 +269,66 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_deep_stability(args) -> int:
+    """The deep-stability configuration (BASELINE.md): gamma sweep on the
+    100-Euler-step model + conv-matrix eigenvalue spectrum check."""
+    import jax
+
+    from differential_equations_resnet_tpu.experiments import (
+        conv_matrix_spectrum,
+        gamma_sweep,
+    )
+    from differential_equations_resnet_tpu.ops.antisymmetric import (
+        init_antisym_3x3,
+    )
+
+    gammas = [float(g) for g in args.gammas.split(",")]
+    sweep = gamma_sweep(
+        gammas=gammas,
+        num_layers=args.num_layers,
+        num_filters=args.num_filters,
+        train_steps=args.steps,
+    )
+    spectrum = conv_matrix_spectrum(
+        init_antisym_3x3(jax.random.key(0), args.num_filters),
+        gamma=gammas[-1],
+        height=args.grid,
+        width=args.grid,
+    )
+    print(
+        json.dumps(
+            {
+                "gamma_sweep": {str(k): v for k, v in sweep.items()},
+                "spectrum": {
+                    "gamma": gammas[-1],
+                    "real_part_error": float(spectrum["real_part_error"]),
+                    "antisymmetry_defect": float(spectrum["antisymmetry_defect"]),
+                },
+            }
+        )
+    )
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    """Width x depth train-throughput sweep (BASELINE.md v5e config)."""
+    import jax.numpy as jnp
+
+    from differential_equations_resnet_tpu.experiments import width_depth_sweep
+
+    results = width_depth_sweep(
+        widths=[int(w) for w in args.widths.split(",")],
+        depths=[int(d) for d in args.depths.split(",")],
+        batch_size=args.batch_size,
+        num_classes=args.num_classes,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        steps=args.steps,
+        kernel_type=args.kernel_type,
+    )
+    print(json.dumps({f"{w}x{d}": v for (w, d), v in results.items()}))
+    return 0
+
+
 def cmd_convert_records(args) -> int:
     from differential_equations_resnet_tpu.data import RecordGenerator
 
@@ -325,6 +385,25 @@ def main(argv=None) -> int:
     p.add_argument("training_csv")
     p.add_argument("--evaluation-csv", default=None)
     p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("deep-stability")
+    p.add_argument("--gammas", default="0.0,0.05,0.2")
+    p.add_argument("--num-layers", type=int, default=100)
+    p.add_argument("--num-filters", type=int, default=8)
+    p.add_argument("--steps", type=int, default=60)
+    p.add_argument("--grid", type=int, default=6)
+    p.set_defaults(fn=cmd_deep_stability)
+
+    p = sub.add_parser("sweep")
+    p.add_argument("--widths", default="16,32,64")
+    p.add_argument("--depths", default="16,32,64")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--kernel-type",
+                   choices=["antisymmetric", "regular"], default="antisymmetric")
+    p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("convert-records")
     p.add_argument("input")

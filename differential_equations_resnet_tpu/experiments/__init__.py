@@ -6,3 +6,8 @@ from differential_equations_resnet_tpu.experiments.deep_stability import (  # no
     forward_stability_report,
     gamma_sweep,
 )
+from differential_equations_resnet_tpu.experiments.sweeps import (  # noqa: F401
+    imagenet32_config,
+    measure_train_throughput,
+    width_depth_sweep,
+)

@@ -138,7 +138,6 @@ def gamma_sweep(
         step_fn = make_train_step(model, tx)
 
         norms_history = []
-        loss = acc = 0.0
         for _ in range(train_steps):
             idx = rng.integers(0, len(images), size=batch_size)
             state, metrics, norms = step_fn(
@@ -147,11 +146,13 @@ def gamma_sweep(
                 jnp.asarray(labels[idx]),
                 learning_rate,
             )
-            norms_history.append(np.asarray(norms))
-            loss = float(metrics["loss"])
-            acc = float(metrics["correct"] / metrics["count"])
+            # Keep per-step results on device; one fetch after the loop
+            # (each mid-loop device->host read is a tunnel round trip).
+            norms_history.append(norms)
 
-        g = np.stack(norms_history)  # (steps, 1 + L)
+        g = np.asarray(jnp.stack(norms_history))  # (steps, 1 + L)
+        loss = float(metrics["loss"])
+        acc = float(metrics["correct"] / metrics["count"])
         layer_norms = g[:, 1:]  # exclude the stem, as the notebook does
         means = layer_norms.mean(axis=1, keepdims=True)
         rel_dev = float(np.sqrt(np.mean((layer_norms / means) ** 2)))

@@ -84,12 +84,14 @@ def measure_train_throughput(
 
     for _ in range(warmup):
         state, metrics, _ = step_fn(state, x, y, 1e-3)
-    jax.block_until_ready(state)
+    # Value fetch, not block_until_ready: on tunneled TPU backends readiness
+    # can be acknowledged before device-side completion.
+    _ = float(metrics["loss"])
 
     start = time.perf_counter()
     for _ in range(steps):
         state, metrics, _ = step_fn(state, x, y, 1e-3)
-    jax.block_until_ready(state)
+    _ = float(metrics["loss"])  # device-completion sync
     elapsed = time.perf_counter() - start
 
     steps_per_sec = steps / elapsed

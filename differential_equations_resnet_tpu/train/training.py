@@ -200,6 +200,8 @@ class Training:
         monitor: str = "loss",
         summaries_frequency: int = 10,
         scan_steps: int = 0,
+        profile_dir: Optional[str] = None,
+        profile_epoch: int = 1,
         verbose: bool = True,
     ) -> dict:
         """Run the training loop (argument surface mirrors the reference
@@ -209,7 +211,11 @@ class Training:
         `lax.scan` (see `make_multi_step`): a single host<->device round trip
         per K steps, with identical numerics and per-step telemetry.  This is
         the recommended mode on remote/tunneled TPU backends; any epoch
-        remainder (steps_per_epoch % K) runs through the single-step path."""
+        remainder (steps_per_epoch % K) runs through the single-step path.
+
+        `profile_dir` captures a `jax.profiler` device trace of epoch
+        `profile_epoch` (TensorBoard-viewable) — the reference had only
+        wall-clock prints (SURVEY.md section 5.1)."""
         if self._train_iter is None:
             raise ValueError("No training dataset was provided.")
         if monitor not in ("loss", "accuracy"):
@@ -234,6 +240,9 @@ class Training:
             multi_step = self._multi_steps[scan_k]
 
         for epoch in range(1, epochs + 1):
+            profiling = profile_dir is not None and epoch == profile_epoch
+            if profiling:
+                jax.profiler.start_trace(profile_dir)
             self.train_metrics.reset()
             epoch_start = time.time()
             pending_rows = []   # device arrays: [loss, correct, count, *norms]
@@ -293,6 +302,8 @@ class Training:
                         metrics["loss"], metrics["correct"], metrics["count"]
                     )
 
+            if profiling:
+                jax.profiler.stop_trace()
             if self.record_summaries and (row_chunks or pending_rows):
                 if pending_rows:
                     row_chunks.append(jnp.stack(pending_rows))

@@ -378,3 +378,20 @@ def test_multi_eval_and_scanned_evaluate_match(tmp_path):
         np.testing.assert_allclose(float(m["loss"][i]), float(s["loss"]), rtol=1e-5)
         assert float(m["correct"][i]) == float(s["correct"])
     trainer.close()
+
+
+def test_training_profile_trace(tmp_path):
+    """profile_dir captures a jax.profiler trace of the chosen epoch."""
+    trainer = make_trainer(tmp_path)
+    trainer.train(
+        epochs=1,
+        steps_per_epoch=2,
+        learning_rate_schedule=constant_schedule(1e-3),
+        eval_frequency=None,
+        profile_dir=str(tmp_path / "trace"),
+    )
+    produced = []
+    for root, _, files in os.walk(tmp_path / "trace"):
+        produced.extend(files)
+    assert produced, "no profiler trace files written"
+    trainer.close()
