@@ -139,3 +139,41 @@ def apply_fc_activation(x: jax.Array, fc_activation: Optional[str]) -> jax.Array
     if fn is None:
         raise ValueError(f"Unsupported fc_activation {fc_activation!r}.")
     return fn(x)
+
+
+def l2_kernel_penalty(params, weight: float) -> jax.Array:
+    """Keras-style L2 kernel regularization: ``weight * sum(k**2)`` over every
+    KERNEL parameter — dense conv/fc kernels and the antisymmetric layers'
+    free variables (a, b, c, d, cross / diag, cross) — excluding biases,
+    BatchNorm parameters, and the constant gamma center, exactly as the
+    reference's `kernel_regularizer=l2(l2_regularization)` wiring
+    (models/tfkeras_resnets.py:568-597,781-807; the antisymmetric layer
+    passes the regularizer to its free variables only,
+    layers/tfkeras_layer_Conv2DAntisymmetric3By3.py:123,223-244 with the
+    dependent mirrors and center at regularizer=None, :152,257)."""
+    from differential_equations_resnet_tpu.ops.antisymmetric import (
+        Antisym3x3Params,
+        AntisymKxKParams,
+    )
+
+    leaves = []
+
+    def collect(p):
+        if isinstance(p, (ConvParams, DenseParams)):
+            leaves.append(p.kernel)
+        elif isinstance(p, Antisym3x3Params):
+            leaves.extend([p.a, p.b, p.c, p.d, p.cross])
+        elif isinstance(p, AntisymKxKParams):
+            leaves.extend([p.diag, p.cross])
+        elif isinstance(p, dict):
+            for v in p.values():
+                collect(v)
+        elif isinstance(p, (list, tuple)):
+            for v in p:
+                collect(v)
+        # BatchNormParams, bare arrays (biases), None: not regularized.
+
+    collect(params)
+    if not leaves:
+        return jnp.zeros((), jnp.float32)
+    return weight * sum(jnp.sum(jnp.square(leaf.astype(jnp.float32))) for leaf in leaves)

@@ -76,14 +76,26 @@ def _set_lr(opt_state, lr):
 
 def _build_step_fn(model, tx, with_gradient_metrics: bool = True):
     """The raw (unjitted) train step:
-    (state, images, labels, lr) -> (state, metrics, grad_norms)."""
+    (state, images, labels, lr) -> (state, metrics, grad_norms).
+
+    With ``config.l2_regularization > 0`` the loss adds the Keras-style L2
+    kernel penalty (the reference declares `kernel_regularizer=l2(...)` on
+    every kernel but its trainer left adding it to the loss as a TODO —
+    reference training/training.py:292-297; here it is actually applied)."""
     config = model.config
+    l2_weight = float(getattr(config, "l2_regularization", 0.0) or 0.0)
 
     def loss_fn(params, model_state, images, labels):
         logits, new_model_state = model.apply(
             params, model_state, images, train=True, return_logits=True
         )
         loss = cross_entropy_from_logits(logits, labels)
+        if l2_weight:
+            from differential_equations_resnet_tpu.models.blocks import (
+                l2_kernel_penalty,
+            )
+
+            loss = loss + l2_kernel_penalty(params, l2_weight)
         return loss, (new_model_state, logits)
 
     def step_fn(state: TrainState, images, labels, lr):
@@ -198,11 +210,19 @@ def make_multi_step(
 
 
 def _make_eval_fn(model):
+    l2_weight = float(getattr(model.config, "l2_regularization", 0.0) or 0.0)
+
     def step_fn(params, model_state, images, labels):
         logits, _ = model.apply(
             params, model_state, images, train=False, return_logits=True
         )
         loss = cross_entropy_from_logits(logits, labels)
+        if l2_weight:
+            from differential_equations_resnet_tpu.models.blocks import (
+                l2_kernel_penalty,
+            )
+
+            loss = loss + l2_kernel_penalty(params, l2_weight)
         predictions = jnp.argmax(logits, axis=-1)
         correct = jnp.sum(
             (predictions == _labels_argmax(labels)).astype(jnp.float32)

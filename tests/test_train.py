@@ -395,3 +395,42 @@ def test_training_profile_trace(tmp_path):
         produced.extend(files)
     assert produced, "no profiler trace files written"
     trainer.close()
+
+
+def test_l2_regularization_applied():
+    """l2_regularization adds the Keras-style kernel penalty to the loss and
+    shifts kernel gradients (biases/BN untouched by the penalty)."""
+    from differential_equations_resnet_tpu.models.blocks import l2_kernel_penalty
+
+    w = 1e-2
+    model0 = tiny_model(3, 8)
+    model_l2 = tiny_model(3, 8, l2_regularization=w)
+    tx = make_adam()
+    key = jax.random.key(0)
+    s0 = create_train_state(model0, key, tx)
+    s1 = create_train_state(model_l2, key, tx)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (8, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, (8,)))
+
+    step0 = make_train_step(model0, tx, donate=False)
+    step1 = make_train_step(model_l2, tx, donate=False)
+    _, m0, _ = step0(s0, x, y, 1e-3)
+    _, m1, _ = step1(s1, x, y, 1e-3)
+
+    penalty = float(l2_kernel_penalty(s0.params, w))
+    assert penalty > 0
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m0["loss"]) + penalty, rtol=1e-5
+    )
+
+    # Penalty covers conv/dense kernels + antisymmetric free params only.
+    blocks = s0.params["stages"][0]["blocks"]
+    manual = sum(
+        float(jnp.sum(jnp.square(a)))
+        for a in (blocks.a, blocks.b, blocks.c, blocks.d, blocks.cross)
+    )
+    manual += float(jnp.sum(jnp.square(s0.params["stem"].kernel)))
+    manual += float(jnp.sum(jnp.square(s0.params["head"].kernel)))
+    np.testing.assert_allclose(penalty, w * manual, rtol=1e-5)
