@@ -112,6 +112,22 @@ def cmd_train(args) -> int:
         csv_logger_name=f"single_block_{args.kernel_type}_{args.num_layers}-layers_{args.num_filters}-filters",
         summaries_dir=args.summaries_dir,
     )
+    if args.resume:
+        from differential_equations_resnet_tpu.train import Checkpointer
+
+        if not args.save_dir:
+            raise SystemExit("--resume requires --save-dir")
+        checkpointer = Checkpointer(args.save_dir)
+        latest = checkpointer.latest()
+        if latest is not None:
+            import os
+
+            trainer.load_variables(os.path.join(args.save_dir, latest))
+            print(f"# resumed from {latest} at step {trainer.global_step}",
+                  file=sys.stderr)
+        else:
+            print("# --resume: no checkpoint found, starting fresh",
+                  file=sys.stderr)
     steps_per_epoch = args.steps_per_epoch or (
         (len(train_x) + args.batch_size - 1) // args.batch_size
     )
@@ -128,6 +144,7 @@ def cmd_train(args) -> int:
         monitor=args.monitor,
         summaries_frequency=args.summaries_frequency,
         scan_steps=args.scan_steps,
+        save_frequency=args.save_frequency,
     )
     print(json.dumps({"best": trainer.best_metrics}))
     trainer.close()
@@ -363,6 +380,11 @@ def main(argv=None) -> int:
     p.add_argument("--summaries-frequency", type=int, default=10)
     p.add_argument("--scan-steps", type=int, default=0,
                    help="K>1: run K train steps per dispatch via lax.scan")
+    p.add_argument("--save-frequency", type=int, default=1,
+                   help="checkpoint every N epochs (when --save-dir is set)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint in --save-dir "
+                        "(full TrainState incl. Adam slots) before training")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate")
