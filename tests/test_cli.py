@@ -1,0 +1,91 @@
+"""CLI surface smoke tests (SURVEY.md section 5.6: the reference had no
+config/flag system; the CLI is this framework's notebook-workflow surface).
+Runs tiny configurations on the virtual CPU platform."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from differential_equations_resnet_tpu.cli import main
+
+
+def _tiny_train_args(tmp_path, extra=()):
+    return [
+        "train",
+        "--num-layers", "3",
+        "--num-filters", "8",
+        "--epochs", "1",
+        "--steps-per-epoch", "3",
+        "--eval-steps", "2",
+        "--batch-size", "16",
+        "--csv-dir", str(tmp_path / "csv"),
+        "--summaries-frequency", "1",
+        *extra,
+    ]
+
+
+def test_cli_train_analyze_roundtrip(tmp_path, capsys):
+    assert main(_tiny_train_args(tmp_path)) == 0
+    (train_csv,) = glob.glob(str(tmp_path / "csv" / "*_training.csv"))
+    (eval_csv,) = glob.glob(str(tmp_path / "csv" / "*_evaluation.csv"))
+    rows = np.loadtxt(train_csv, skiprows=1)
+    assert rows.shape[0] == 3  # one telemetry row per step
+    assert main(["analyze", train_csv, "--evaluation-csv", eval_csv]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    diag = json.loads(out)
+    assert "gradient_norm_relative_deviation" in diag
+    assert "best_val_accuracy" in diag
+
+
+def test_cli_train_scan_steps_and_resume(tmp_path, capsys):
+    save = str(tmp_path / "ckpt")
+    args = _tiny_train_args(
+        tmp_path, ["--scan-steps", "2", "--save-dir", save, "--save-frequency", "1"]
+    )
+    assert main(args) == 0
+    assert main(args + ["--resume"]) == 0
+    err = capsys.readouterr().err
+    assert "resumed from" in err
+
+
+def test_cli_benchmark_smoke(capsys):
+    assert main([
+        "benchmark", "--num-layers", "2", "--num-filters", "8",
+        "--batch-size", "8", "--steps", "4", "--scan-steps", "2",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["train_steps_per_sec"] > 0
+    assert out["inference_latency_batch1_ms"] > 0
+
+
+def test_cli_deep_stability_smoke(capsys):
+    assert main([
+        "deep-stability", "--gammas", "0.0,0.1", "--num-layers", "4",
+        "--num-filters", "4", "--steps", "2", "--grid", "3",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["gamma_sweep"]) == {"0.0", "0.1"}
+    assert out["spectrum"]["antisymmetry_defect"] < 1e-3
+
+
+def test_cli_convert_records_roundtrip(tmp_path, capsys):
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(0)
+    for label in range(3):
+        for n in range(4):
+            arr = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(img_dir / f"{label}_{n}.png")
+    out_dir = tmp_path / "records"
+    assert main(["convert-records", str(img_dir), str(out_dir),
+                 "--prefix", "t", "--shard-size", "5", "--val-split", "0.25"]) == 0
+    from differential_equations_resnet_tpu.data import get_record_paths
+
+    assert get_record_paths(str(out_dir / "train"))
+    assert get_record_paths(str(out_dir / "val"))
