@@ -121,8 +121,16 @@ def cmd_train(args) -> int:
         latest = checkpointer.latest()
         if latest is not None:
             import os
+            import re
 
             trainer.load_variables(os.path.join(args.save_dir, latest))
+            # Restore the best-metric watermark from the metric-encoded
+            # checkpoint name so post-resume gating doesn't restart at
+            # loss=inf and evict genuinely better checkpoints.
+            m = re.search(r"loss-([0-9.eE+-]+)_accuracy-([0-9.eE+-]+)", latest)
+            if m:
+                trainer.best_metrics["loss"] = float(m.group(1))
+                trainer.best_metrics["accuracy"] = float(m.group(2))
             print(f"# resumed from {latest} at step {trainer.global_step}",
                   file=sys.stderr)
         else:
@@ -194,8 +202,12 @@ def cmd_benchmark(args) -> int:
     tx = make_adam()
     state = create_train_state(model, jax.random.key(0), tx)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 255, (args.batch_size, 32, 32, 3)), jnp.float32)
-    y = jnp.asarray(rng.integers(0, 10, (args.batch_size,)))
+    image_shape = tuple(model.config.image_shape)
+    num_classes = int(model.config.num_classes)
+    x = jnp.asarray(
+        rng.uniform(0, 255, (args.batch_size,) + image_shape), jnp.float32
+    )
+    y = jnp.asarray(rng.integers(0, num_classes, (args.batch_size,)))
 
     scan_k = max(int(args.scan_steps), 0)
     if scan_k > 1:

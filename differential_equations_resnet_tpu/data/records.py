@@ -331,10 +331,17 @@ class RecordDatasetCreator:
             raise ValueError("create_native_dataset requires a batch_size.")
         paths = list(self.record_paths)
         batch_size = self.batch_size
-        repeat = self.repeat
-        shuffle_buffer = (
-            int(self.shuffle_buffer_size or 0) if self.shuffle else 0
-        )
+        # Same epoch semantics as create_dataset(): repeat=False -> one pass,
+        # repeat=True -> num_epochs passes (None = forever).
+        if not self.repeat:
+            num_epochs = 1
+        else:
+            num_epochs = self.num_epochs  # None -> infinite
+        shuffle = bool(self.shuffle)
+        shuffle_buffer = int(self.shuffle_buffer_size or 0) if shuffle else 0
+        # Deterministic order when not shuffling: no shard permutation and a
+        # single worker (parallel workers interleave records nondeterministically).
+        threads = num_threads if shuffle else 1
         seed = int(self.seed or 0)
         shape = tuple(image_shape)
 
@@ -343,9 +350,11 @@ class RecordDatasetCreator:
                 paths,
                 shape,
                 batch_size=batch_size,
-                repeat=repeat,
+                repeat=self.repeat,
+                num_epochs=num_epochs,
+                shuffle_files=shuffle,
                 verify_crc=verify_crc,
-                num_threads=num_threads,
+                num_threads=threads,
                 shuffle_buffer_size=shuffle_buffer,
                 seed=seed,
                 ring_capacity=ring_capacity,

@@ -86,7 +86,8 @@ struct Loader {
   int32_t h, w, c;
   uint64_t image_bytes;
   int64_t batch;
-  bool repeat;
+  uint64_t max_index;  // stop after this many shard reads (0 = infinite)
+  bool shuffle_files;
   bool verify;
   uint64_t seed;
 
@@ -152,13 +153,20 @@ int64_t parse_shard(Loader* L, const std::string& path,
     uint64_t payload_len = read_le<uint64_t>(buf.data() + off);
     uint32_t crc = read_le<uint32_t>(buf.data() + off + 8);
     off += 12;
-    if (off + payload_len > buf.size()) return kErrTruncated;
+    // payload_len is attacker/corruption-controlled (the CRC covers the
+    // payload, not this header): bound it BEFORE any pointer arithmetic.
+    if (payload_len > buf.size() - off) return kErrTruncated;
     const uint8_t* p = buf.data() + off;
     off += payload_len;
     if (L->verify && crc32_ieee(p, payload_len) != crc) return kErrCrc;
 
+    // Fixed fields: u32 label | u16 name_len | name | u8 enc | 3x u16 shape
+    // | u64 data_len | data.  Every offset must stay within payload_len.
+    if (payload_len < 6) return kErrTruncated;
     uint32_t label = read_le<uint32_t>(p);
     uint16_t name_len = read_le<uint16_t>(p + 4);
+    uint64_t header_len = 6ull + name_len + 15ull;
+    if (payload_len < header_len) return kErrTruncated;
     p += 6 + name_len;
     uint8_t encoding = *p;
     uint16_t rh = read_le<uint16_t>(p + 1);
@@ -166,6 +174,7 @@ int64_t parse_shard(Loader* L, const std::string& path,
     uint16_t rc = read_le<uint16_t>(p + 5);
     uint64_t data_len = read_le<uint64_t>(p + 7);
     p += 15;
+    if (data_len > payload_len - header_len) return kErrTruncated;
     if (encoding != 0) return kErrEncoding;
     if (rh != L->h || rw != L->w || rc != L->c || data_len != L->image_bytes)
       return kErrShape;
@@ -183,8 +192,9 @@ void worker_main(Loader* L) {
   bool running = true;
   while (running) {
     uint64_t i = L->next_index.fetch_add(1);
-    if (!L->repeat && i >= n) break;
-    const std::string& path = L->paths[shard_for_index(*L, i)];
+    if (L->max_index && i >= L->max_index) break;
+    const std::string& path =
+        L->paths[L->shuffle_files ? shard_for_index(*L, i) : i % n];
 
     std::vector<Record> records;
     int64_t rc = parse_shard(L, path, &records);
@@ -251,8 +261,10 @@ bool pop_record(Loader* L, std::unique_lock<std::mutex>& lock, Record* out) {
 
 extern "C" {
 
+// num_epochs: passes over the shard list (0 = repeat forever).
 void* dert_loader_open(const char** paths, int64_t n_paths, int32_t h,
-                       int32_t w, int32_t c, int64_t batch, int32_t repeat,
+                       int32_t w, int32_t c, int64_t batch,
+                       int64_t num_epochs, int32_t shuffle_files,
                        int32_t verify_crc, int32_t num_threads,
                        int64_t shuffle_buffer, uint64_t seed,
                        int64_t ring_capacity) {
@@ -264,15 +276,18 @@ void* dert_loader_open(const char** paths, int64_t n_paths, int32_t h,
   L->c = c;
   L->image_bytes = static_cast<uint64_t>(h) * w * c;
   L->batch = batch;
-  L->repeat = repeat != 0;
+  L->max_index =
+      num_epochs > 0 ? static_cast<uint64_t>(num_epochs) * n_paths : 0;
+  L->shuffle_files = shuffle_files != 0;
   L->verify = verify_crc != 0;
   L->seed = seed;
   L->shuffle_buffer = shuffle_buffer > 1 ? static_cast<size_t>(shuffle_buffer) : 0;
   L->consumer_rng.seed(seed ^ 0xD1B54A32D192ED03ull);
   L->ring_cap = ring_capacity > 0 ? static_cast<size_t>(ring_capacity) : 4096;
   int threads = num_threads > 0 ? num_threads : 2;
-  if (static_cast<int64_t>(threads) > n_paths && !L->repeat)
-    threads = static_cast<int>(n_paths);
+  if (L->max_index &&
+      static_cast<uint64_t>(threads) > L->max_index)
+    threads = static_cast<int>(L->max_index);
   L->active = threads;
   for (int t = 0; t < threads; ++t)
     L->workers.emplace_back(worker_main, L);

@@ -79,7 +79,8 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,                   # n_paths
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # h, w, c
             ctypes.c_int64,                   # batch
-            ctypes.c_int32,                   # repeat
+            ctypes.c_int64,                   # num_epochs (0 = infinite)
+            ctypes.c_int32,                   # shuffle_files
             ctypes.c_int32,                   # verify_crc
             ctypes.c_int32,                   # num_threads
             ctypes.c_int64,                   # shuffle_buffer
@@ -106,9 +107,12 @@ class NativeRecordLoader:
     """Iterator of (images, labels) batches over raw fixed-shape DERT shards,
     fed by C++ worker threads.
 
-    Args mirror `RecordDatasetCreator`: shuffle via per-epoch shard
-    permutation + a reservoir shuffle buffer; `repeat=False` ends with a
-    short final batch then StopIteration.
+    Args mirror `RecordDatasetCreator`: `shuffle_files` reshuffles the shard
+    order every epoch (seeded); `shuffle_buffer_size` adds a record-level
+    reservoir shuffle; `num_epochs` bounds the number of passes (None =
+    forever when `repeat` else one pass), ending with a short final batch
+    then StopIteration.  With shuffling off and `num_threads=1` the record
+    order is deterministic and matches the shard list.
     """
 
     def __init__(
@@ -117,6 +121,8 @@ class NativeRecordLoader:
         image_shape: Tuple[int, int, int],
         batch_size: int,
         repeat: bool = True,
+        num_epochs: Optional[int] = None,
+        shuffle_files: bool = True,
         verify_crc: bool = True,
         num_threads: int = 4,
         shuffle_buffer_size: int = 0,
@@ -137,9 +143,12 @@ class NativeRecordLoader:
         encoded = [os.path.abspath(p).encode() for p in record_paths]
         arr = (ctypes.c_char_p * len(encoded))(*encoded)
         h, w, c = self.image_shape
+        if num_epochs is None:
+            num_epochs = 0 if repeat else 1
         self._handle = lib.dert_loader_open(
             arr, len(encoded), h, w, c, self.batch_size,
-            1 if repeat else 0, 1 if verify_crc else 0,
+            int(num_epochs), 1 if shuffle_files else 0,
+            1 if verify_crc else 0,
             int(num_threads), int(shuffle_buffer_size), int(seed) & (2**64 - 1),
             int(ring_capacity),
         )

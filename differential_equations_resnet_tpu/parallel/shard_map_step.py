@@ -27,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from differential_equations_resnet_tpu.train.telemetry import gradient_mean_norms
 from differential_equations_resnet_tpu.train.train_step import (
     TrainState,
-    cross_entropy_from_logits,
+    build_loss_fn,
     _labels_argmax,
     _set_lr,
 )
@@ -44,18 +44,26 @@ def make_shard_map_train_step(
     """Build a jitted shard_map train step with explicit collectives:
     (state, images, labels, lr) -> (state, metrics, grad_norms).
 
-    Numerically identical to `make_train_step(..., mesh=...)`: the local
-    loss is the mean over the per-device batch shard, `pmean` over the axis
-    makes the gradient the global-batch mean, and correct/count are `psum`ed
-    so streaming accuracy matches the single-device run.
+    Numerically identical to `make_train_step(..., mesh=...)`: the objective
+    is the SAME `build_loss_fn` (incl. the L2 kernel penalty), the local loss
+    is the mean over the per-device batch shard, `pmean` over the axis makes
+    the gradient the global-batch mean, and correct/count are `psum`ed so
+    streaming accuracy matches the single-device run.
+
+    BatchNorm models are rejected: per-shard batch statistics pmean'd after
+    the fact are NOT the global-batch statistics the jit-sharded path
+    computes (mean of per-shard variances underestimates the global
+    variance) — use `make_train_step(mesh=...)` for BN models.
     """
     config = model.config
-
-    def loss_fn(params, model_state, images, labels):
-        logits, new_model_state = model.apply(
-            params, model_state, images, train=True, return_logits=True
+    if getattr(config, "use_batch_norm", False):
+        raise ValueError(
+            "make_shard_map_train_step does not support BatchNorm models "
+            "(per-shard batch statistics != global-batch statistics); use "
+            "make_train_step(mesh=...) instead."
         )
-        return cross_entropy_from_logits(logits, labels), (new_model_state, logits)
+
+    loss_fn = build_loss_fn(model, train=True)
 
     def per_shard(state: TrainState, images, labels, lr):
         (loss, (new_model_state, logits)), grads = jax.value_and_grad(

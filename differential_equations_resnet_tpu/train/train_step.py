@@ -74,20 +74,21 @@ def _set_lr(opt_state, lr):
     )
 
 
-def _build_step_fn(model, tx, with_gradient_metrics: bool = True):
-    """The raw (unjitted) train step:
-    (state, images, labels, lr) -> (state, metrics, grad_norms).
+def build_loss_fn(model, train: bool = True):
+    """The shared training objective:
+    (params, model_state, images, labels) -> (loss, (new_model_state, logits)).
 
     With ``config.l2_regularization > 0`` the loss adds the Keras-style L2
     kernel penalty (the reference declares `kernel_regularizer=l2(...)` on
     every kernel but its trainer left adding it to the loss as a TODO —
-    reference training/training.py:292-297; here it is actually applied)."""
-    config = model.config
-    l2_weight = float(getattr(config, "l2_regularization", 0.0) or 0.0)
+    reference training/training.py:292-297; here it is actually applied).
+    Every train-step builder (jit-sharded, shard_map, multi-step) must go
+    through this single definition so the objective cannot diverge."""
+    l2_weight = float(getattr(model.config, "l2_regularization", 0.0) or 0.0)
 
     def loss_fn(params, model_state, images, labels):
         logits, new_model_state = model.apply(
-            params, model_state, images, train=True, return_logits=True
+            params, model_state, images, train=train, return_logits=True
         )
         loss = cross_entropy_from_logits(logits, labels)
         if l2_weight:
@@ -97,6 +98,15 @@ def _build_step_fn(model, tx, with_gradient_metrics: bool = True):
 
             loss = loss + l2_kernel_penalty(params, l2_weight)
         return loss, (new_model_state, logits)
+
+    return loss_fn
+
+
+def _build_step_fn(model, tx, with_gradient_metrics: bool = True):
+    """The raw (unjitted) train step:
+    (state, images, labels, lr) -> (state, metrics, grad_norms)."""
+    config = model.config
+    loss_fn = build_loss_fn(model, train=True)
 
     def step_fn(state: TrainState, images, labels, lr):
         (loss, (new_model_state, logits)), grads = jax.value_and_grad(
@@ -210,19 +220,10 @@ def make_multi_step(
 
 
 def _make_eval_fn(model):
-    l2_weight = float(getattr(model.config, "l2_regularization", 0.0) or 0.0)
+    loss_fn = build_loss_fn(model, train=False)
 
     def step_fn(params, model_state, images, labels):
-        logits, _ = model.apply(
-            params, model_state, images, train=False, return_logits=True
-        )
-        loss = cross_entropy_from_logits(logits, labels)
-        if l2_weight:
-            from differential_equations_resnet_tpu.models.blocks import (
-                l2_kernel_penalty,
-            )
-
-            loss = loss + l2_kernel_penalty(params, l2_weight)
+        loss, (_, logits) = loss_fn(params, model_state, images, labels)
         predictions = jnp.argmax(logits, axis=-1)
         correct = jnp.sum(
             (predictions == _labels_argmax(labels)).astype(jnp.float32)

@@ -260,6 +260,29 @@ class Training:
                         np.float32,
                     )
                     batches = [next(self._train_iter) for _ in range(scan_k)]
+                    if len({b[0].shape for b in batches}) != 1:
+                        # Ragged chunk (e.g. a short epoch-boundary batch from
+                        # a dataset without drop_remainder): run these through
+                        # the single-step path instead of np.stack-crashing.
+                        for images, labels in batches:
+                            images, labels = self._device_batch((images, labels))
+                            lr = float(learning_rate_schedule(self.global_step))
+                            self.state, metrics, grad_norms = self._train_step(
+                                self.state, images, labels, lr
+                            )
+                            self._host_step += 1
+                            steps_done += 1
+                            if self.record_summaries:
+                                pending_rows.append(
+                                    self._pack_row(metrics, grad_norms)
+                                )
+                                lrs.append(lr)
+                            else:
+                                self.train_metrics.update(
+                                    metrics["loss"], metrics["correct"],
+                                    metrics["count"],
+                                )
+                        continue
                     images = np.stack([b[0] for b in batches])
                     labels = np.stack([b[1] for b in batches])
                     if self.mesh is not None:

@@ -170,3 +170,50 @@ def test_native_loader_detects_corruption(tmp_path):
     loader = NativeRecordLoader([path], (32, 32, 3), batch_size=4, repeat=False)
     with pytest.raises(ValueError, match="CRC"):
         list(loader)
+
+
+@pytest.mark.skipif(not _loader_available(), reason="native loader unavailable")
+def test_native_loader_rejects_inconsistent_record_header(tmp_path):
+    """A record whose header fields exceed the payload bounds must error,
+    not read out of bounds (the CRC covers the payload, not the framing)."""
+    import struct
+    import zlib
+
+    from differential_equations_resnet_tpu.native import NativeRecordLoader
+
+    # Valid container, one malicious record: payload claims data_len=192
+    # but carries only the fixed header (no data).
+    payload = struct.pack("<IH", 7, 0)                 # label, name_len=0
+    payload += struct.pack("<BHHHQ", 0, 8, 8, 3, 192)  # enc, h, w, c, data_len
+    record = struct.pack("<QI", len(payload), zlib.crc32(payload)) + payload
+    path = tmp_path / "bad.dert"
+    path.write_bytes(b"DERT" + struct.pack("<I", 1) + record)
+
+    loader = NativeRecordLoader([str(path)], (8, 8, 3), batch_size=4,
+                                repeat=False)
+    with pytest.raises(ValueError, match="truncated"):
+        list(loader)
+
+
+@pytest.mark.skipif(not _loader_available(), reason="native loader unavailable")
+def test_native_dataset_epoch_semantics_and_order(tmp_path):
+    """create_native_dataset honors num_epochs (finite stream) and preserves
+    deterministic shard order when shuffle=False."""
+    from differential_equations_resnet_tpu.data.records import get_record_paths
+
+    images = np.arange(40 * 4 * 4 * 3, dtype=np.uint8).reshape(40, 4, 4, 3)
+    labels = np.arange(40, dtype=np.int64)
+    RecordGenerator().write_arrays(
+        images, labels, str(tmp_path), num_files_per_record=10
+    )
+    paths = get_record_paths(str(tmp_path))
+
+    creator = RecordDatasetCreator(
+        paths, batch_size=20, repeat=True, num_epochs=2, shuffle=False
+    )
+    batches = list(creator.create_native_dataset((4, 4, 3)))
+    got = np.concatenate([b[1] for b in batches])
+    assert got.shape == (80,)  # exactly 2 epochs, then termination
+    # shuffle=False: in-order within each pass.
+    np.testing.assert_array_equal(got[:40], labels)
+    np.testing.assert_array_equal(got[40:], labels)

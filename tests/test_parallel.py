@@ -182,3 +182,51 @@ def test_shard_map_train_step_matches_jit_dp():
         ),
         s_ref.params, s_sm.params,
     )
+
+
+def test_shard_map_step_includes_l2_and_rejects_batch_norm():
+    """The explicit-collective step shares build_loss_fn (L2 included) and
+    refuses BatchNorm models (per-shard stats != global-batch stats)."""
+    from differential_equations_resnet_tpu.parallel import (
+        create_mesh,
+        make_shard_map_train_step,
+    )
+    from differential_equations_resnet_tpu.train import (
+        create_train_state,
+        make_adam,
+        make_train_step,
+    )
+
+    w = 1e-2
+    model = build_single_block_resnet(
+        cifar10_single_block_config(num_layers=2, num_filters=8,
+                                    l2_regularization=w)
+    )
+    tx = make_adam()
+    key = jax.random.key(5)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(0, 255, (16, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, (16,)))
+
+    s_ref = create_train_state(model, key, tx)
+    _, m_ref, _ = make_train_step(model, tx, donate=False)(s_ref, x, y, 1e-3)
+
+    mesh = create_mesh((8,), ("data",))
+    s_sm = create_train_state(model, key, tx)
+    sm_step = make_shard_map_train_step(model, tx, mesh, donate=False)
+    _, m_sm, _ = sm_step(s_sm, x, y, jnp.asarray(1e-3, jnp.float32))
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_sm["loss"]), rtol=1e-5
+    )
+
+    from differential_equations_resnet_tpu.models import SingleBlockResNetConfig
+
+    bn_model = build_single_block_resnet(
+        SingleBlockResNetConfig(
+            num_stages=2, blocks_per_stage=(2,), filters_per_block=(8,),
+            strides=((1, 1),), use_max_pooling=(False,), num_classes=10,
+            use_batch_norm=True,
+        )
+    )
+    with pytest.raises(ValueError, match="BatchNorm"):
+        make_shard_map_train_step(bn_model, tx, mesh)

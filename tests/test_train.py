@@ -434,3 +434,27 @@ def test_l2_regularization_applied():
     manual += float(jnp.sum(jnp.square(s0.params["stem"].kernel)))
     manual += float(jnp.sum(jnp.square(s0.params["head"].kernel)))
     np.testing.assert_allclose(penalty, w * manual, rtol=1e-5)
+
+
+def test_training_scan_steps_handles_ragged_batches(tmp_path):
+    """A dataset without drop_remainder yields a short epoch-boundary batch;
+    the scan path must fall back to single steps, not crash in np.stack."""
+    from differential_equations_resnet_tpu.data import create_dataset_from_arrays
+    from differential_equations_resnet_tpu.data.cifar10 import synthetic_cifar10
+
+    train_x, train_y, *_ = synthetic_cifar10(80, 1, seed=0)  # 80 = 2x32 + 16
+    ds = create_dataset_from_arrays(
+        train_x, train_y, batch_size=32,
+        shuffle=False, repeat=True, drop_remainder=False,
+    )
+    model = tiny_model(2, 8)
+    trainer = Training(model, train_dataset=ds, batch_size=32,
+                       record_summaries=True)
+    trainer.train(
+        epochs=1,
+        steps_per_epoch=6,   # crosses the ragged 16-sample batch
+        learning_rate_schedule=constant_schedule(1e-3),
+        eval_frequency=None,
+        scan_steps=3,
+    )
+    assert trainer.global_step == 6
