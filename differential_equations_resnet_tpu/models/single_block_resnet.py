@@ -37,7 +37,7 @@ from differential_equations_resnet_tpu.ops.antisymmetric import (
     init_antisym_3x3,
     materialize_3x3_stacked,
 )
-from differential_equations_resnet_tpu.ops.conv import conv2d_same
+from differential_equations_resnet_tpu.ops.conv import conv2d_same, euler_relu_step
 from differential_equations_resnet_tpu.ops.integrators import integrate
 
 
@@ -275,10 +275,20 @@ def _apply_identity_blocks(x, sp, ss, config, train):
             from differential_equations_resnet_tpu.ops.pallas import fused_euler_3x3
 
             return fused_euler_3x3(x, blocks, config.h, config.gamma), {}
+        dense = _dense_blocks(blocks, config)
+        if config.integrator == "euler":
+            # Euler fast path: custom-VJP step saving a bool relu mask
+            # instead of the fp32 pre-activation (euler_relu_step docstring).
+            def body(y, p):
+                return euler_relu_step(y, p.kernel, p.bias, config.h), None
+
+            body = jax.checkpoint(body) if config.remat else body
+            y, _ = jax.lax.scan(body, x, dense, unroll=config.scan_unroll)
+            return y, {}
         y = integrate(
             _dense_field,
             x,
-            _dense_blocks(blocks, config),
+            dense,
             config.h,
             method=config.integrator,
             remat=config.remat,

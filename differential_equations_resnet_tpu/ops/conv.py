@@ -11,6 +11,7 @@ reference's central performance pathology).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -77,3 +78,45 @@ def antisym_conv2d_3x3(
     (`layers/tfkeras_layer_Conv2DAntisymmetric3By3.py:157-171`)."""
     kernel = materialize_3x3(params, gamma)
     return conv2d_same(x, kernel, strides=strides, bias=params.bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def euler_relu_step(y: jax.Array, kernel: jax.Array, bias: jax.Array, h: float):
+    """One forward-Euler residual step ``y + h * relu(conv(y, K) + b)`` with a
+    memory-lean custom VJP.
+
+    XLA's autodiff of the step saves the fp32 pre-activation z per layer for
+    the backward relu'; across an L-layer scan that is L*|y| of extra HBM
+    residual traffic.  Here the backward needs only the SIGN of z, so the
+    residual is a bool mask (1 byte/elem instead of 4), and the two linear
+    cotangents are built by `jax.linear_transpose` of the conv (abstract —
+    no forward recompute):
+
+        g_z = h * relu'(z) * g
+        dy  = g + conv_transpose(g_z, K)
+        dK  = correlate(y, g_z)
+        db  = sum(g_z)
+    """
+    z = conv2d_same(y, kernel, bias=bias)
+    return y + h * jax.nn.relu(z)
+
+
+def _euler_relu_fwd(y, kernel, bias, h):
+    z = conv2d_same(y, kernel, bias=bias)
+    return y + h * jax.nn.relu(z), (y, kernel, z > 0)
+
+
+def _euler_relu_bwd(h, residuals, g):
+    y, kernel, mask = residuals
+    g_z = jnp.where(mask, h * g, 0.0).astype(g.dtype)
+    (dy_conv,) = jax.linear_transpose(
+        lambda yy: conv2d_same(yy, kernel), y
+    )(g_z)
+    (dk,) = jax.linear_transpose(
+        lambda kk: conv2d_same(y, kk), kernel
+    )(g_z)
+    db = jnp.sum(g_z, axis=(0, 1, 2))
+    return g + dy_conv, dk, db
+
+
+euler_relu_step.defvjp(_euler_relu_fwd, _euler_relu_bwd)
