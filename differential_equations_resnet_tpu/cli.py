@@ -6,8 +6,11 @@ subcommands over the typed dataclass configs:
 
     train            headline CIFAR-10 single-block runs (v7 notebook cells 1-8)
     evaluate         restore a checkpoint and evaluate
+    predict          batch inference from .npy arrays or image directories
     benchmark        steps/sec + batch-1 inference latency (v7 cells 19-25)
     analyze          TrainingHistory gradient-flow diagnostics (v7 cell 27)
+    deep-stability   100-step gamma sweep + conv-matrix eigenvalue check
+    sweep            width x depth train-throughput grid
     convert-records  image directory tree -> sharded binary records
 """
 
@@ -175,6 +178,56 @@ def cmd_evaluate(args) -> int:
         trainer.load_variables(args.checkpoint)
     steps = (len(test_x) + args.batch_size - 1) // args.batch_size
     print(json.dumps(trainer.evaluate("val", num_steps=steps)))
+    return 0
+
+
+def cmd_predict(args) -> int:
+    """Batch inference: images (.npy array or a directory of images) ->
+    class probabilities (the reference's `model.predict` notebook flow,
+    v7 cells 19-25, through the fixed `Training.predict`)."""
+    import numpy as np
+
+    from differential_equations_resnet_tpu.train import Training
+
+    model = _build_model(args)
+    trainer = Training(model, batch_size=args.batch_size, record_summaries=False)
+    if args.checkpoint:
+        trainer.load_variables(args.checkpoint)
+
+    if args.input.endswith(".npy"):
+        images = np.load(args.input)
+    else:
+        from differential_equations_resnet_tpu.data.preprocessors import (
+            _decode_image_bytes,
+            resize_bilinear,
+        )
+        from differential_equations_resnet_tpu.data.records import get_image_paths
+
+        size = model.config.image_shape[:2]
+        paths = get_image_paths([args.input])
+        images = np.stack(
+            [
+                resize_bilinear(
+                    _decode_image_bytes(open(p, "rb").read(), 3), size
+                )
+                for p in paths
+            ]
+        )
+    if images.ndim == 3:
+        images = images[None]
+    probs = trainer.predict(images.astype(np.float32))
+    if args.output:
+        np.save(args.output, probs)
+        print(f"# wrote {probs.shape} -> {args.output}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "num_images": int(len(probs)),
+                "predictions": np.argmax(probs, axis=-1)[:32].tolist(),
+                "max_prob_mean": float(np.max(probs, axis=-1).mean()),
+            }
+        )
+    )
     return 0
 
 
@@ -405,6 +458,14 @@ def main(argv=None) -> int:
     p.add_argument("--cifar10-dir", default=None)
     p.add_argument("--checkpoint", default=None)
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("predict")
+    _add_model_args(p)
+    p.add_argument("input", help=".npy image array (N,H,W,3) or image directory")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--output", default=None, help="write probabilities .npy")
+    p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("benchmark")
     _add_model_args(p)

@@ -89,3 +89,35 @@ def test_cli_convert_records_roundtrip(tmp_path, capsys):
 
     assert get_record_paths(str(out_dir / "train"))
     assert get_record_paths(str(out_dir / "val"))
+
+
+def test_cli_predict_npy_and_directory(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    arr = rng.uniform(0, 255, (5, 32, 32, 3)).astype(np.float32)
+    npy = tmp_path / "imgs.npy"
+    np.save(npy, arr)
+    out_npy = tmp_path / "probs.npy"
+    assert main([
+        "predict", str(npy), "--num-layers", "2", "--num-filters", "8",
+        "--output", str(out_npy),
+    ]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["num_images"] == 5
+    probs = np.load(out_npy)
+    assert probs.shape == (5, 10)
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-5)
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    for n in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        ).save(img_dir / f"0_{n}.png")
+    assert main([
+        "predict", str(img_dir), "--num-layers", "2", "--num-filters", "8",
+    ]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["num_images"] == 3
