@@ -16,9 +16,11 @@ from differential_equations_resnet_tpu.models.single_block_resnet import (  # no
     SingleBlockResNetConfig,
     build_single_block_resnet,
     cifar10_single_block_config,
+    get_single_block_resnet_build_function,
 )
 from differential_equations_resnet_tpu.models.bottleneck_resnet import (  # noqa: F401
     BottleneckResNetConfig,
     build_resnet,
+    get_resnet_build_function,
     resnet_preset,
 )

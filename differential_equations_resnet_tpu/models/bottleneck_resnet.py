@@ -314,7 +314,29 @@ class BottleneckResNet:
         return self.config.name
 
 
-def build_resnet(config: BottleneckResNetConfig) -> BottleneckResNet:
+def build_resnet(config=None, **kwargs) -> BottleneckResNet:
     """API-parity constructor (reference `build_resnet`,
-    models/tfkeras_resnets.py:606-696)."""
+    models/tfkeras_resnets.py:606-696).
+
+    Accepts either a `BottleneckResNetConfig` or the reference's keyword
+    surface, including ``preset='resnet50'|'resnet101'|'resnet152'``."""
+    if config is None:
+        preset = kwargs.pop("preset", None)
+        if preset is not None:
+            kwargs["blocks_per_stage"] = _PRESETS[preset]
+        if "blocks_per_stage" in kwargs:
+            kwargs["blocks_per_stage"] = tuple(kwargs["blocks_per_stage"])
+        if "filters_per_block" in kwargs:
+            kwargs["filters_per_block"] = tuple(
+                tuple(f) for f in kwargs["filters_per_block"]
+            )
+        config = BottleneckResNetConfig(**kwargs)
+    elif kwargs:
+        raise TypeError("Pass either a config object or keyword arguments, not both.")
     return BottleneckResNet(config)
+
+
+def get_resnet_build_function(**kwargs):
+    """Factory form (reference `get_resnet_build_function`,
+    models/tfkeras_resnets.py:698-818)."""
+    return lambda: build_resnet(**kwargs)

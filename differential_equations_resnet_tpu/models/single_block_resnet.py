@@ -414,7 +414,33 @@ class SingleBlockResNet:
         return self.config.name
 
 
-def build_single_block_resnet(config: SingleBlockResNetConfig) -> SingleBlockResNet:
+def build_single_block_resnet(config=None, **kwargs) -> SingleBlockResNet:
     """API-parity constructor (reference `build_single_block_resnet`,
-    models/tfkeras_resnets.py:427-509)."""
+    models/tfkeras_resnets.py:427-509).
+
+    Accepts either a `SingleBlockResNetConfig` or the reference's keyword
+    surface directly, e.g.::
+
+        build_single_block_resnet(image_shape=(32, 32, 3), num_stages=2,
+                                  blocks_per_stage=[64], filters_per_block=[16],
+                                  strides=[(1, 1)], num_classes=10, h=0.125)
+    """
+    if config is None:
+        for key in ("blocks_per_stage", "filters_per_block", "use_max_pooling"):
+            if key in kwargs:
+                kwargs[key] = tuple(kwargs[key])
+        if "strides" in kwargs:
+            kwargs["strides"] = tuple(tuple(s) for s in kwargs["strides"])
+        kwargs.pop("verbose", None)  # reference's tqdm flag — nothing to show
+        config = SingleBlockResNetConfig(**kwargs)
+    elif kwargs:
+        raise TypeError("Pass either a config object or keyword arguments, not both.")
     return SingleBlockResNet(config)
+
+
+def get_single_block_resnet_build_function(**kwargs):
+    """Factory form (reference `get_single_block_resnet_build_function`,
+    models/tfkeras_resnets.py:511-604).  The reference returned a closure
+    over kwargs to be applied to a Keras input tensor; in the functional API
+    the closure produces the model object (inputs go to `model.apply`)."""
+    return lambda: build_single_block_resnet(**kwargs)

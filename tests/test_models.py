@@ -296,3 +296,61 @@ def test_single_block_euler_fast_path_grad_parity():
         ),
         g1, g2,
     )
+
+
+def test_reference_kwargs_builders():
+    """build_single_block_resnet / build_resnet accept the reference's exact
+    keyword surface (models/tfkeras_resnets.py:427-444,606-621), and the
+    get_*_build_function factory forms exist."""
+    from differential_equations_resnet_tpu.models import (
+        build_resnet,
+        build_single_block_resnet,
+        get_resnet_build_function,
+        get_single_block_resnet_build_function,
+    )
+
+    model = build_single_block_resnet(
+        image_shape=(32, 32, 3),
+        kernel_type="antisymmetric",
+        kernel_size=3,
+        h=0.5,
+        gamma=0.1,
+        num_stages=2,
+        blocks_per_stage=[4],
+        filters_per_block=[8],
+        strides=[(1, 1)],
+        include_top=True,
+        fc_activation="softmax",
+        num_classes=10,
+        use_batch_norm=False,
+        use_max_pooling=[False],
+        l2_regularization=0.0,
+        subtract_mean=127.5,
+        divide_by_stddev=127.5,
+        verbose=False,
+    )
+    params, state = model.init(jax.random.key(0))
+    out, _ = model.apply(params, state, jnp.zeros((2, 32, 32, 3)))
+    assert out.shape == (2, 10)
+
+    rn = build_resnet(
+        image_shape=(64, 64, 3), preset="resnet50", num_classes=7,
+        kernel_type="regular", version=1.5,
+    )
+    assert rn.config.blocks_per_stage == (3, 4, 6, 3)
+    assert rn.config.version == 1.5
+
+    factory = get_single_block_resnet_build_function(
+        image_shape=(32, 32, 3), num_stages=2, blocks_per_stage=[2],
+        filters_per_block=[8], strides=[(1, 1)], use_max_pooling=[False],
+        num_classes=10,
+    )
+    assert factory().config.blocks_per_stage == (2,)
+    assert get_resnet_build_function(
+        image_shape=(64, 64, 3), num_classes=3
+    )().config.num_classes == 3
+
+    with pytest.raises(TypeError, match="not both"):
+        build_single_block_resnet(
+            cifar10_single_block_config(num_layers=2, num_filters=8), h=1.0
+        )
