@@ -126,14 +126,24 @@ def cmd_train(args) -> int:
             import os
             import re
 
-            trainer.load_variables(os.path.join(args.save_dir, latest))
-            # Restore the best-metric watermark from the metric-encoded
-            # checkpoint name so post-resume gating doesn't restart at
-            # loss=inf and evict genuinely better checkpoints.
-            m = re.search(r"loss-([0-9.eE+-]+)_accuracy-([0-9.eE+-]+)", latest)
-            if m:
-                trainer.best_metrics["loss"] = float(m.group(1))
-                trainer.best_metrics["accuracy"] = float(m.group(2))
+            ckpt_path = os.path.join(args.save_dir, latest)
+            trainer.load_variables(ckpt_path)
+            # Restore the best-metric watermark so post-resume gating doesn't
+            # restart at loss=inf and evict genuinely better checkpoints.
+            # Primary source: the sidecar metadata payload; fall back to the
+            # metric-encoded directory name for legacy checkpoints.
+            meta = checkpointer.read_meta(ckpt_path)
+            if meta and meta.get("metrics"):
+                metrics = meta["metrics"]
+                if "loss" in metrics:
+                    trainer.best_metrics["loss"] = float(metrics["loss"])
+                if "accuracy" in metrics:
+                    trainer.best_metrics["accuracy"] = float(metrics["accuracy"])
+            else:
+                m = re.search(r"loss-([0-9.eE+-]+)_accuracy-([0-9.eE+-]+)", latest)
+                if m:
+                    trainer.best_metrics["loss"] = float(m.group(1))
+                    trainer.best_metrics["accuracy"] = float(m.group(2))
             print(f"# resumed from {latest} at step {trainer.global_step}",
                   file=sys.stderr)
         else:
@@ -426,6 +436,137 @@ def cmd_convert_records(args) -> int:
     return 0
 
 
+def cmd_fetch_cifar10(args) -> int:
+    from differential_equations_resnet_tpu.data.cifar10 import fetch_cifar10
+
+    path = fetch_cifar10(args.dest, verify=not args.no_verify)
+    print(json.dumps({"cifar10_dir": path}))
+    return 0
+
+
+# The three published reference configs and their best-val-accuracy baselines
+# (BASELINE.md rows 1-3; reference numerical_results/csv/*_evaluation_metrics.csv).
+REFERENCE_RUNS = (
+    ("antisymmetric", 16, 0.5526),
+    ("regular", 16, 0.6047),
+    ("regular", 8, 0.4954),
+)
+
+
+def cmd_reproduce(args) -> int:
+    """Reproduce the reference's three 21-epoch CIFAR-10 runs (v7 notebook
+    cells 1-8: 64 layers, h=8/64, batch 32, Adam lr=1e-3, no augmentation)
+    and report best val accuracy vs the published baselines with the
+    +-0.5% acceptance criterion (BASELINE.md north star)."""
+    import os
+
+    from differential_equations_resnet_tpu.data.cifar10 import (
+        build_cifar10_dataset,
+        fetch_cifar10,
+        find_cifar10_directory,
+        synthetic_cifar10,
+    )
+    from differential_equations_resnet_tpu.models import (
+        build_single_block_resnet,
+        cifar10_single_block_config,
+    )
+    from differential_equations_resnet_tpu.train import Training
+
+    cifar_dir = args.cifar10_dir or find_cifar10_directory()
+    if cifar_dir is None and not args.synthetic:
+        try:
+            cifar_dir = fetch_cifar10()
+        except RuntimeError as e:
+            raise SystemExit(
+                f"{e}\nReal CIFAR-10 is required for a reproduction run; "
+                f"pass --synthetic only for pipeline smoke-testing."
+            )
+    if cifar_dir:
+        print(f"# loading CIFAR-10 from {cifar_dir}", file=sys.stderr)
+        train_x, train_y, test_x, test_y, _ = build_cifar10_dataset(cifar_dir)
+        data_kind = "real"
+    else:
+        print("# SYNTHETIC data: results will NOT match the baselines",
+              file=sys.stderr)
+        train_x, train_y, test_x, test_y, _ = synthetic_cifar10()
+        data_kind = "synthetic"
+
+    batch = 32
+    steps_per_epoch = args.steps_per_epoch or (
+        (len(train_x) + batch - 1) // batch  # 1563 for the full 50k set
+    )
+    eval_steps = (len(test_x) + batch - 1) // batch
+    os.makedirs(args.csv_dir, exist_ok=True)
+
+    results = []
+    runs = [r for r in REFERENCE_RUNS
+            if args.only is None
+            or f"{r[0]}_{r[1]}" == args.only]
+    for kernel_type, num_filters, baseline in runs:
+        name = f"single_block_{kernel_type}_64-layers_{num_filters}-filters"
+        print(f"# === {name} (baseline best val acc {baseline}) ===",
+              file=sys.stderr)
+        config = cifar10_single_block_config(
+            num_layers=64, final_time=8.0, num_filters=num_filters,
+            kernel_type=kernel_type,
+        )
+        model = build_single_block_resnet(config)
+        trainer = Training(
+            model,
+            train_features=train_x, train_labels=train_y,
+            val_features=test_x, val_labels=test_y,
+            batch_size=batch,
+            csv_logger_dir=args.csv_dir,
+            csv_logger_name=name,
+        )
+        trainer.train(
+            epochs=args.epochs,
+            steps_per_epoch=steps_per_epoch,
+            learning_rate_schedule=lambda step: 1e-3,
+            eval_steps=eval_steps,
+            summaries_frequency=10,
+            scan_steps=args.scan_steps,
+            save_during_training=args.save_dir is not None,
+            save_dir=(os.path.join(args.save_dir, name)
+                      if args.save_dir else None),
+            monitor="loss",
+        )
+        best_acc = trainer.best_metrics["accuracy"]
+        delta = best_acc - baseline
+        results.append({
+            "run": name,
+            "data": data_kind,
+            "best_val_accuracy": best_acc,
+            "best_val_loss": trainer.best_metrics["loss"],
+            "baseline_accuracy": baseline,
+            "delta": delta,
+            "within_half_percent": bool(abs(delta) <= 0.005 or delta > 0),
+        })
+        trainer.close()
+        print(json.dumps(results[-1]), file=sys.stderr)
+    print(json.dumps({"data": data_kind, "runs": results}))
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Serving export (the analogue of the reference's tf.saved_model backend,
+    training/training.py:781-858): write a self-contained directory with the
+    model config, the parameters, and (optionally) the forward function
+    serialized as StableHLO via jax.export for runtime-independent serving."""
+    from differential_equations_resnet_tpu.utils.serving import export_model
+
+    model = _build_model(args)
+    path = export_model(
+        model,
+        args.output,
+        checkpoint=args.checkpoint,
+        batch_size=args.batch_size,
+        stablehlo=not args.no_stablehlo,
+    )
+    print(json.dumps({"export_dir": path}))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="deqres", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -508,6 +649,46 @@ def main(argv=None) -> int:
     p.add_argument("--val-split", type=float, default=None)
     p.add_argument("--raw", action="store_true")
     p.set_defaults(fn=cmd_convert_records)
+
+    p = sub.add_parser(
+        "fetch-cifar10",
+        help="download + sha256-verify + extract the official CIFAR-10 "
+             "release (needs egress; see fetch_cifar10 docstring for the "
+             "zero-egress fallback)",
+    )
+    p.add_argument("--dest", default="/root/data")
+    p.add_argument("--no-verify", action="store_true")
+    p.set_defaults(fn=cmd_fetch_cifar10)
+
+    p = sub.add_parser(
+        "reproduce",
+        help="run the reference's three 21-epoch CIFAR-10 configs and "
+             "compare best val accuracy to the published baselines",
+    )
+    p.add_argument("--cifar10-dir", default=None)
+    p.add_argument("--epochs", type=int, default=21)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--scan-steps", type=int, default=50)
+    p.add_argument("--csv-dir", default="./numerical_results/csv")
+    p.add_argument("--save-dir", default=None)
+    p.add_argument("--only", default=None,
+                   choices=[f"{k}_{f}" for k, f, _ in REFERENCE_RUNS],
+                   help="run a single config, e.g. antisymmetric_16")
+    p.add_argument("--synthetic", action="store_true",
+                   help="allow synthetic data (pipeline smoke only)")
+    p.set_defaults(fn=cmd_reproduce)
+
+    p = sub.add_parser(
+        "export",
+        help="serving export: config + params + StableHLO forward "
+             "(tf.saved_model analogue)",
+    )
+    _add_model_args(p)
+    p.add_argument("output", help="export directory to create")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--no-stablehlo", action="store_true")
+    p.set_defaults(fn=cmd_export)
 
     args = parser.parse_args(argv)
     return args.fn(args)

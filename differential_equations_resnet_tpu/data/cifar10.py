@@ -69,6 +69,72 @@ def synthetic_cifar10(
     return train_images, train_labels, test_images, test_labels, label_names
 
 
+CIFAR10_URL = "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz"
+# Published checksums of the official cifar-10-python.tar.gz release.
+CIFAR10_TGZ_MD5 = "c58f30108f718f92721af3b95e74349a"
+CIFAR10_TGZ_SHA256 = (
+    "6d958be074577803d12ecdefd02955f39262c83c16fe9348329d7fe0b5c001ce"
+)
+
+
+def fetch_cifar10(
+    dest_dir: str = "/root/data",
+    url: str = CIFAR10_URL,
+    verify: bool = True,
+) -> str:
+    """Download + checksum-verify + extract the official CIFAR-10 python
+    release.  Returns the extracted `cifar-10-batches-py` directory.
+
+    Idempotent: if the batches directory already exists, it is returned
+    as-is; if the tarball exists but fails verification it is re-downloaded.
+    On zero-egress hosts this raises with a message describing the manual
+    fallback (copy the tarball to <dest_dir> yourself, or set CIFAR10_DIR)."""
+    import hashlib
+    import tarfile
+    import urllib.error
+    import urllib.request
+
+    batches = os.path.join(dest_dir, "cifar-10-batches-py")
+    if os.path.isfile(os.path.join(batches, "data_batch_1")):
+        return batches
+    os.makedirs(dest_dir, exist_ok=True)
+    tgz = os.path.join(dest_dir, "cifar-10-python.tar.gz")
+
+    def _verified() -> bool:
+        if not os.path.isfile(tgz):
+            return False
+        if not verify:
+            return True
+        sha = hashlib.sha256()
+        with open(tgz, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                sha.update(chunk)
+        return sha.hexdigest() == CIFAR10_TGZ_SHA256
+
+    if not _verified():
+        try:
+            tmp = tgz + ".part"
+            urllib.request.urlretrieve(url, tmp)
+            os.replace(tmp, tgz)
+        except (urllib.error.URLError, OSError) as e:
+            raise RuntimeError(
+                f"Could not download CIFAR-10 from {url} ({e}). On a "
+                f"zero-egress host, copy cifar-10-python.tar.gz into "
+                f"{dest_dir} manually (sha256 {CIFAR10_TGZ_SHA256}) or set "
+                f"CIFAR10_DIR to an extracted cifar-10-batches-py directory."
+            ) from e
+        if not _verified():
+            raise RuntimeError(
+                f"{tgz} failed sha256 verification (expected "
+                f"{CIFAR10_TGZ_SHA256}); refusing to extract."
+            )
+    with tarfile.open(tgz, "r:gz") as tf:
+        tf.extractall(dest_dir, filter="data")
+    if not os.path.isfile(os.path.join(batches, "data_batch_1")):
+        raise RuntimeError(f"Extraction produced no data batches under {batches}.")
+    return batches
+
+
 def find_cifar10_directory() -> str | None:
     """Look in the usual places for an extracted cifar-10-batches-py."""
     candidates = [

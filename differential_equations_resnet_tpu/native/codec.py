@@ -9,8 +9,10 @@ the native library builds.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 import threading
 from typing import Optional, Tuple
 
@@ -18,11 +20,18 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SOURCE = os.path.join(_DIR, "dert_codec.cc")
-_LIB_PATH = os.path.join(_DIR, "libdert.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
+
+
+def _lib_path() -> str:
+    """Build-cache path keyed on the source content hash (mtimes are
+    arbitrary after a git clone — see loader.py)."""
+    with open(_SOURCE, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f"libdert-{digest}.so")
 
 _ERROR_NAMES = {
     -1: "open failed",
@@ -36,16 +45,25 @@ _ERROR_NAMES = {
 }
 
 
-def _build() -> bool:
+def _build(lib_path: str) -> bool:
+    """Compile to a temp file then atomically rename into place (concurrent
+    builders must never CDLL a half-written .so)."""
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+    os.close(fd)
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SOURCE, "-o", _LIB_PATH],
+            ["g++", "-O3", "-shared", "-fPIC", _SOURCE, "-o", tmp],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.rename(tmp, lib_path)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -56,15 +74,17 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.exists(_SOURCE)
-            and os.path.getmtime(_SOURCE) > os.path.getmtime(_LIB_PATH)
-        ):
-            if not _build():
+        try:
+            lib_path = _lib_path()
+        except OSError:
+            _load_failed = True
+            return None
+        if not os.path.exists(lib_path):
+            if not _build(lib_path):
                 _load_failed = True
                 return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(lib_path)
         except OSError:
             _load_failed = True
             return None

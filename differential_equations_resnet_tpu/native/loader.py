@@ -14,8 +14,10 @@ check `native_loader_available()` and fall back to the Python reader.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 import threading
 from typing import Optional, Sequence, Tuple
 
@@ -23,11 +25,19 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SOURCE = os.path.join(_DIR, "dert_loader.cc")
-_LIB_PATH = os.path.join(_DIR, "libdert_loader.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
+
+
+def _lib_path() -> str:
+    """Build-cache path keyed on the SOURCE CONTENT hash (not mtimes, which
+    are arbitrary after a git clone), so the loaded binary is always the one
+    compiled from the committed dert_loader.cc."""
+    with open(_SOURCE, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f"libdert_loader-{digest}.so")
 
 _ERROR_NAMES = {
     -1: "open failed",
@@ -40,17 +50,27 @@ _ERROR_NAMES = {
 }
 
 
-def _build() -> bool:
+def _build(lib_path: str) -> bool:
+    """Compile to a temp file in the same directory and os.rename() it into
+    place, so concurrent builders (parallel test workers, multi-host launch)
+    never CDLL a half-written .so — rename is atomic on POSIX."""
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+    os.close(fd)
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-pthread", _SOURCE,
-             "-o", _LIB_PATH],
+             "-o", tmp],
             check=True,
             capture_output=True,
             timeout=180,
         )
+        os.rename(tmp, lib_path)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -61,15 +81,17 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.exists(_SOURCE)
-            and os.path.getmtime(_SOURCE) > os.path.getmtime(_LIB_PATH)
-        ):
-            if not _build():
+        try:
+            lib_path = _lib_path()
+        except OSError:
+            _load_failed = True
+            return None
+        if not os.path.exists(lib_path):
+            if not _build(lib_path):
                 _load_failed = True
                 return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(lib_path)
         except OSError:
             _load_failed = True
             return None

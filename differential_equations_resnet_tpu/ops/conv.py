@@ -80,10 +80,12 @@ def antisym_conv2d_3x3(
     return conv2d_same(x, kernel, strides=strides, bias=params.bias)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def euler_relu_step(y: jax.Array, kernel: jax.Array, bias: jax.Array, h: float):
     """One forward-Euler residual step ``y + h * relu(conv(y, K) + b)`` with a
-    memory-lean custom VJP.
+    memory-lean custom VJP.  ``bias`` must be an array: the VJP produces a
+    dense bias cotangent, so a ``None`` bias would surface as an opaque
+    custom_vjp pytree-structure error under ``grad`` — pass ``jnp.zeros(C)``
+    for a bias-free step instead.
 
     XLA's autodiff of the step saves the fp32 pre-activation z per layer for
     the backward relu'; across an L-layer scan that is L*|y| of extra HBM
@@ -97,6 +99,16 @@ def euler_relu_step(y: jax.Array, kernel: jax.Array, bias: jax.Array, h: float):
         dK  = correlate(y, g_z)
         db  = sum(g_z)
     """
+    if bias is None:
+        raise ValueError(
+            "euler_relu_step requires an array bias (got None); pass "
+            "jnp.zeros(channels) for a bias-free step."
+        )
+    return _euler_relu_step(y, kernel, bias, h)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _euler_relu_step(y, kernel, bias, h):
     z = conv2d_same(y, kernel, bias=bias)
     return y + h * jax.nn.relu(z)
 
@@ -119,4 +131,4 @@ def _euler_relu_bwd(h, residuals, g):
     return g + dy_conv, dk, db
 
 
-euler_relu_step.defvjp(_euler_relu_fwd, _euler_relu_bwd)
+_euler_relu_step.defvjp(_euler_relu_fwd, _euler_relu_bwd)

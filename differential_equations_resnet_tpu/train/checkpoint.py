@@ -10,6 +10,7 @@ kept for portability of small runs and for weight-surgery interop.
 
 from __future__ import annotations
 
+import json
 import os
 import pickle
 import re
@@ -54,7 +55,7 @@ class Checkpointer:
             return []
         entries = [
             d for d in sorted(os.listdir(self.base_dir))
-            if re.search(r"step-\d+", d)
+            if re.search(r"step-\d+", d) and not d.endswith(".meta.json")
         ]
         return entries
 
@@ -81,32 +82,73 @@ class Checkpointer:
             os.makedirs(path, exist_ok=True)
             with open(os.path.join(path, "state.pkl"), "wb") as f:
                 pickle.dump(_to_numpy(state), f, protocol=pickle.HIGHEST_PROTOCOL)
+        # Sidecar metadata: machine-readable step + monitored metrics (so
+        # resume restores the best-metric watermark from the payload, not by
+        # regex-parsing the %.4f-rounded directory name) and the treedef
+        # fingerprint for structure-drift detection on restore.
+        meta = {
+            "step": int(step),
+            "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+            "treedef": str(jax.tree.structure(state)),
+        }
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
         self._garbage_collect()
         return path
 
+    def read_meta(self, path: str) -> Optional[dict]:
+        """Load the sidecar metadata for a checkpoint path (None for legacy
+        checkpoints saved before metadata existed)."""
+        meta_path = path.rstrip("/") + ".meta.json"
+        if not os.path.isfile(meta_path):
+            return None
+        with open(meta_path) as f:
+            return json.load(f)
+
     def restore(self, target: Any, path: Optional[str] = None) -> Any:
         """Restore into the structure of ``target`` (an existing TrainState
-        used as the abstract template).  ``path`` defaults to the latest."""
+        used as the abstract template).  ``path`` defaults to the latest.
+
+        Raises ValueError when the checkpoint's pytree structure does not
+        match ``target`` — a silent flat-leaf-order unflatten would otherwise
+        mis-assign leaves across e.g. an optimizer or model-config change."""
         if path is None:
             name = self.latest()
             if name is None:
                 raise FileNotFoundError(f"No checkpoints in {self.base_dir}.")
             path = self._path(name)
+        target_treedef = jax.tree.structure(target)
+        meta = self.read_meta(path)
+        if meta is not None and meta.get("treedef") not in (
+            None, str(target_treedef)
+        ):
+            raise ValueError(
+                f"Checkpoint {path} was saved with a different pytree "
+                f"structure than the restore target.\n  saved:  "
+                f"{meta['treedef']}\n  target: {target_treedef}"
+            )
         if os.path.isfile(os.path.join(path, "state.pkl")):
             with open(os.path.join(path, "state.pkl"), "rb") as f:
-                flat = pickle.load(f)
-            restored = flat
+                restored = pickle.load(f)
+            restored_treedef = jax.tree.structure(restored)
+            if restored_treedef != target_treedef:
+                raise ValueError(
+                    f"Checkpoint {path} pytree structure does not match the "
+                    f"restore target.\n  saved:  {restored_treedef}\n  "
+                    f"target: {target_treedef}"
+                )
         else:
             import orbax.checkpoint as ocp
 
+            # Orbax validates the stored tree against this abstract template
+            # itself and errors on mismatch.
             checkpointer = ocp.StandardCheckpointer()
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), _to_numpy(target)
             )
             restored = checkpointer.restore(path, abstract)
-        leaves, _ = jax.tree.flatten(restored)
-        _, treedef = jax.tree.flatten(target)
-        return jax.tree.unflatten(treedef, leaves)
+        leaves = jax.tree.leaves(restored)
+        return jax.tree.unflatten(target_treedef, leaves)
 
     def _garbage_collect(self) -> None:
         if self.max_to_keep is None:
@@ -117,3 +159,7 @@ class Checkpointer:
             import shutil
 
             shutil.rmtree(self._path(stale), ignore_errors=True)
+            try:
+                os.unlink(self._path(stale) + ".meta.json")
+            except OSError:
+                pass

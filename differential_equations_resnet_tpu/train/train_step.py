@@ -220,10 +220,17 @@ def make_multi_step(
 
 
 def _make_eval_fn(model):
-    loss_fn = build_loss_fn(model, train=False)
-
+    # Evaluation reports PURE cross-entropy, never the L2 kernel penalty:
+    # the reference's eval metric is plain CE (its trainer never added the
+    # regularizer to any loss, training/training.py:292-297), and mixing the
+    # penalty in would shift eval CSVs and the monitor='loss' best-checkpoint
+    # gating whenever l2_regularization > 0.  Training still goes through
+    # `build_loss_fn`, which does apply the penalty to the objective.
     def step_fn(params, model_state, images, labels):
-        loss, (_, logits) = loss_fn(params, model_state, images, labels)
+        logits, _ = model.apply(
+            params, model_state, images, train=False, return_logits=True
+        )
+        loss = cross_entropy_from_logits(logits, labels)
         predictions = jnp.argmax(logits, axis=-1)
         correct = jnp.sum(
             (predictions == _labels_argmax(labels)).astype(jnp.float32)
@@ -238,9 +245,9 @@ def _make_eval_fn(model):
 
 
 def make_eval_step(model, mesh: Optional[Mesh] = None):
-    """(params, model_state, images, labels) -> metrics dict (loss on softmax
-    CE, correct count, count) — the reference's `_evaluate` fetches
-    (`training/training.py:670-706`)."""
+    """(params, model_state, images, labels) -> metrics dict (loss = plain
+    softmax CE with no regularization penalty, correct count, count) — the
+    reference's `_evaluate` fetches (`training/training.py:670-706`)."""
 
     step_fn = _make_eval_fn(model)
 

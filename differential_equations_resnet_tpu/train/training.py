@@ -493,16 +493,21 @@ class Training:
     ) -> dict:
         """Standalone evaluation (reference `evaluate`,
         training/training.py:708-750).  `scan_steps=K > 1` evaluates K
-        batches per dispatch."""
+        batches per dispatch.
+
+        Always evaluates over a FRESH pass of the requested dataset, never
+        the live training/validation iterators — evaluating mid-training must
+        not silently consume (skip) training batches.  (The reference shares
+        that wart via its feedable string handle; fixed here.)"""
         if dataset == "train":
-            iterator = self._train_iter
+            source = self.train_dataset
         elif dataset == "val":
-            iterator = self._val_iter
+            source = self.val_dataset
         else:
             raise ValueError("dataset must be 'train' or 'val'.")
-        if iterator is None:
+        if source is None:
             raise ValueError(f"No {dataset} dataset available.")
-        return self._run_eval(iterator, num_steps, scan_steps)
+        return self._run_eval(iter(source), num_steps, scan_steps)
 
     # -- inference -----------------------------------------------------------------
 

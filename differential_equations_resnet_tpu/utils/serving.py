@@ -1,0 +1,219 @@
+"""Serving export/load — the TPU-native analogue of the reference's
+`tf.saved_model` checkpoint backend (`training/training.py:781-858`, selected
+by its ``saver='saved_model'`` flag).
+
+An export directory is self-contained for inference:
+
+    config.json      model family + full typed config (JSON)
+    params.pkl       (params, model_state) as NumPy pytrees
+    forward.hlo      the jitted forward serialized via jax.export (StableHLO),
+                     runtime-independent and loadable without the model code
+
+`load_exported` prefers the serialized StableHLO artifact (exact compiled
+semantics, no Python model code needed) and falls back to rebuilding the
+model from config + params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+from typing import Any, Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_DTYPE_NAMES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                "float16": jnp.float16}
+
+
+def _register_param_serializations() -> None:
+    """Register the framework's NamedTuple param pytrees with jax.export so
+    serialized StableHLO artifacts carry their treedefs (idempotent)."""
+    from jax import export as jax_export
+
+    from differential_equations_resnet_tpu.models.blocks import (
+        BatchNormParams,
+        BatchNormState,
+        ConvParams,
+        DenseParams,
+    )
+    from differential_equations_resnet_tpu.ops.antisymmetric import (
+        Antisym3x3Params,
+        AntisymKxKParams,
+    )
+
+    for cls in (ConvParams, DenseParams, BatchNormParams, BatchNormState,
+                Antisym3x3Params, AntisymKxKParams):
+        try:
+            jax_export.register_namedtuple_serialization(
+                cls, serialized_name=f"deqres.{cls.__name__}"
+            )
+        except ValueError:
+            pass  # already registered
+
+
+def _config_to_json(config) -> dict:
+    d = dataclasses.asdict(config)
+    if "compute_dtype" in d:
+        d["compute_dtype"] = jnp.dtype(d["compute_dtype"]).name
+    return d
+
+
+def _config_from_json(d: dict, family: str):
+    if d.get("compute_dtype") in _DTYPE_NAMES:
+        d = dict(d, compute_dtype=_DTYPE_NAMES[d["compute_dtype"]])
+    for key in ("blocks_per_stage", "filters_per_block", "use_max_pooling",
+                "image_shape", "stage_filters", "stage_blocks"):
+        if key in d and isinstance(d[key], list):
+            d[key] = tuple(d[key])
+    if "strides" in d and isinstance(d["strides"], list):
+        d["strides"] = tuple(tuple(s) for s in d["strides"])
+    if family == "single_block":
+        from differential_equations_resnet_tpu.models import (
+            SingleBlockResNetConfig,
+        )
+
+        return SingleBlockResNetConfig(**d)
+    from differential_equations_resnet_tpu.models import BottleneckResNetConfig
+
+    return BottleneckResNetConfig(**d)
+
+
+def _model_family(model) -> str:
+    return (
+        "single_block"
+        if type(model).__name__ == "SingleBlockResNet"
+        else "bottleneck"
+    )
+
+
+def _build_from_family(family: str, config):
+    if family == "single_block":
+        from differential_equations_resnet_tpu.models import (
+            build_single_block_resnet,
+        )
+
+        return build_single_block_resnet(config)
+    from differential_equations_resnet_tpu.models import build_resnet
+
+    return build_resnet(config)
+
+
+def export_model(
+    model,
+    output_dir: str,
+    checkpoint: Optional[str] = None,
+    params: Any = None,
+    model_state: Any = None,
+    batch_size: int = 1,
+    stablehlo: bool = True,
+    seed: int = 0,
+) -> str:
+    """Write a self-contained serving export of ``model``.
+
+    Parameters come from (in priority order) the explicit ``params`` /
+    ``model_state`` arguments, a TrainState ``checkpoint`` directory, or a
+    fresh initialization (useful for shape/latency testing)."""
+    if params is None:
+        if checkpoint is not None:
+            from differential_equations_resnet_tpu.train.checkpoint import (
+                Checkpointer,
+            )
+            from differential_equations_resnet_tpu.train.train_step import (
+                create_train_state,
+            )
+
+            target = create_train_state(model, jax.random.key(seed))
+            base = os.path.dirname(os.path.abspath(checkpoint.rstrip("/")))
+            state = Checkpointer(base).restore(
+                target, os.path.abspath(checkpoint.rstrip("/"))
+            )
+            params, model_state = state.params, state.model_state
+        else:
+            params, model_state = model.init(jax.random.key(seed))
+
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        json.dump(
+            {
+                "family": _model_family(model),
+                "batch_size": int(batch_size),
+                "config": _config_to_json(model.config),
+            },
+            f,
+            indent=2,
+        )
+    to_np = lambda t: jax.tree.map(np.asarray, t)
+    with open(os.path.join(output_dir, "params.pkl"), "wb") as f:
+        pickle.dump(
+            {"params": to_np(params), "model_state": to_np(model_state)},
+            f,
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    if stablehlo:
+        from jax import export as jax_export
+
+        _register_param_serializations()
+
+        def forward(p, s, x):
+            out, _ = model.apply(p, s, x, train=False)
+            return out
+
+        x_spec = jax.ShapeDtypeStruct(
+            (batch_size, *model.config.image_shape), jnp.float32
+        )
+        abstract = lambda t: jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), t
+        )
+        exported = jax_export.export(jax.jit(forward))(
+            abstract(params), abstract(model_state), x_spec
+        )
+        with open(os.path.join(output_dir, "forward.hlo"), "wb") as f:
+            f.write(exported.serialize())
+    return os.path.abspath(output_dir)
+
+
+def load_exported(
+    export_dir: str, prefer_stablehlo: bool = True
+) -> Tuple[Callable[[np.ndarray], np.ndarray], dict]:
+    """Load a serving export.  Returns (predict_fn, manifest).
+
+    ``predict_fn(images (B,H,W,C) float32) -> probabilities`` with B equal to
+    the exported batch size."""
+    with open(os.path.join(export_dir, "config.json")) as f:
+        manifest = json.load(f)
+    with open(os.path.join(export_dir, "params.pkl"), "rb") as f:
+        blobs = pickle.load(f)
+    params, model_state = blobs["params"], blobs["model_state"]
+
+    hlo_path = os.path.join(export_dir, "forward.hlo")
+    if prefer_stablehlo and os.path.isfile(hlo_path):
+        from jax import export as jax_export
+
+        _register_param_serializations()
+
+        with open(hlo_path, "rb") as f:
+            exported = jax_export.deserialize(f.read())
+
+        def predict(images):
+            return np.asarray(
+                exported.call(params, model_state, jnp.asarray(images))
+            )
+
+        return predict, manifest
+
+    config = _config_from_json(manifest["config"], manifest["family"])
+    model = _build_from_family(manifest["family"], config)
+    apply_fn = jax.jit(
+        lambda x: model.apply(params, model_state, x, train=False)[0]
+    )
+
+    def predict(images):
+        return np.asarray(apply_fn(jnp.asarray(images)))
+
+    return predict, manifest

@@ -63,6 +63,121 @@ def reference_centrosym_matrix(free_values, kernel_size, gamma, antisymmetric):
     return m
 
 
+# ---------------------------------------------------------------------------
+# Whole-model forward oracle (SURVEY.md section 4 item 2)
+# ---------------------------------------------------------------------------
+
+
+def numpy_conv2d_same(x, kernel, strides=(1, 1), bias=None):
+    """Pure-NumPy stride-s zero-padded ("SAME") convolution, fp64.
+
+    NHWC input, HWIO kernel, TF SAME padding semantics (out = ceil(in/s),
+    total pad = max((out-1)*s + k - in, 0), split low-before-high) — the exact
+    semantics of the reference's `tf.nn.conv2d(..., padding='SAME')`
+    (`layers/tfkeras_layer_Conv2DAntisymmetric3By3.py:157-171`)."""
+    x = np.asarray(x, np.float64)
+    kernel = np.asarray(kernel, np.float64)
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    sh, sw = strides
+    out_h = -(-h // sh)
+    out_w = -(-w // sw)
+    pad_h = max((out_h - 1) * sh + kh - h, 0)
+    pad_w = max((out_w - 1) * sw + kw - w, 0)
+    xp = np.pad(
+        x,
+        ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+         (pad_w // 2, pad_w - pad_w // 2), (0, 0)),
+    )
+    out = np.zeros((n, out_h, out_w, cout), np.float64)
+    for di in range(kh):
+        for dj in range(kw):
+            patch = xp[:, di : di + out_h * sh : sh, dj : dj + out_w * sw : sw, :]
+            out += patch @ kernel[di, dj]
+    if bias is not None:
+        out += np.asarray(bias, np.float64)
+    return out
+
+
+def numpy_dense_kernels_from_packed(blocks, gamma):
+    """Stacked packed antisymmetric params -> list of dense fp64 (3,3,C,C)
+    kernels, assembled through the reference's per-pair loop (NOT through the
+    repo's vectorized scatter).  The cross-pair flattening order (c_out
+    ascending, then c_in ascending) is part of the packed-representation
+    contract; it is re-derived here with a plain double loop."""
+    a = np.asarray(blocks.a, np.float64)
+    num_layers, channels = a.shape
+    pairs = [(i, j) for j in range(channels) for i in range(j + 1, channels)]
+    kernels = []
+    for layer in range(num_layers):
+        cross_blocks = {
+            pair: np.asarray(blocks.cross[layer, :, :, p], np.float64)
+            for p, pair in enumerate(pairs)
+        }
+        kernels.append(
+            reference_antisym_3x3_kernel(
+                a[layer],
+                np.asarray(blocks.b[layer], np.float64),
+                np.asarray(blocks.c[layer], np.float64),
+                np.asarray(blocks.d[layer], np.float64),
+                cross_blocks,
+                gamma,
+            )
+        )
+    return kernels
+
+
+def numpy_single_block_forward(params, x, config):
+    """Independent fp64 re-execution of the reference single-block forward:
+    normalization -> stem conv + relu -> L x (y + h*relu(conv(y) + b)) ->
+    GAP -> dense -> softmax (`models/tfkeras_resnets.py:28-94,547-602`).
+
+    Scoped to the reference experiment family: identity-only stages, Euler
+    blocks, no BatchNorm, no pooling.  Returns (probs, logits)."""
+    assert not config.use_batch_norm and config.integrator == "euler"
+    x = np.asarray(x, np.float64)
+    if config.subtract_mean is not None:
+        x = x - np.float64(config.subtract_mean)
+    if config.divide_by_stddev is not None:
+        x = x / np.float64(config.divide_by_stddev)
+
+    stem = params["stem"]
+    x = numpy_conv2d_same(
+        x, stem.kernel, strides=tuple(config.strides[0]), bias=stem.bias
+    )
+    x = np.maximum(x, 0.0)
+
+    for sp in params["stages"]:
+        assert "conv_main" not in sp, "oracle covers identity-only stages"
+        blocks = sp["blocks"]
+        if hasattr(blocks, "cross"):  # packed antisymmetric
+            kernels = numpy_dense_kernels_from_packed(blocks, config.gamma)
+            biases = np.asarray(blocks.bias, np.float64)
+        else:  # regular stacked ConvParams
+            kernels = [np.asarray(k, np.float64) for k in blocks.kernel]
+            biases = np.asarray(blocks.bias, np.float64)
+        for layer, kernel in enumerate(kernels):
+            z = numpy_conv2d_same(x, kernel, bias=biases[layer])
+            x = x + config.h * np.maximum(z, 0.0)
+
+    x = x.mean(axis=(1, 2))  # global average pool
+    head = params["head"]
+    logits = x @ np.asarray(head.kernel, np.float64) + np.asarray(
+        head.bias, np.float64
+    )
+    shifted = logits - logits.max(axis=-1, keepdims=True)
+    probs = np.exp(shifted) / np.exp(shifted).sum(axis=-1, keepdims=True)
+    return probs, logits
+
+
+def numpy_softmax_ce(logits, labels):
+    """Mean categorical cross-entropy from logits, integer labels, fp64."""
+    logits = np.asarray(logits, np.float64)
+    shifted = logits - logits.max(axis=-1, keepdims=True)
+    log_probs = shifted - np.log(np.exp(shifted).sum(axis=-1, keepdims=True))
+    return -log_probs[np.arange(len(labels)), labels].mean()
+
+
 def conv_matrix(kernel, height, width, channels):
     """Materialize the doubly-blocked Toeplitz matrix M of a stride-1 SAME
     conv with the given (k, k, C, C) kernel, acting on flattened (H*W*C,)

@@ -354,3 +354,14 @@ def test_reference_kwargs_builders():
         build_single_block_resnet(
             cifar10_single_block_config(num_layers=2, num_filters=8), h=1.0
         )
+
+
+def test_euler_relu_step_rejects_none_bias():
+    """bias=None must fail fast with a clear message, not an opaque
+    custom_vjp pytree-structure error under grad."""
+    from differential_equations_resnet_tpu.ops.conv import euler_relu_step
+
+    y = jnp.ones((1, 4, 4, 2))
+    k = jnp.ones((3, 3, 2, 2))
+    with pytest.raises(ValueError, match="bias"):
+        euler_relu_step(y, k, None, 0.1)

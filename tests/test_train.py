@@ -458,3 +458,79 @@ def test_training_scan_steps_handles_ragged_batches(tmp_path):
         scan_steps=3,
     )
     assert trainer.global_step == 6
+
+
+def test_eval_loss_is_pure_ce_even_with_l2():
+    """Eval loss must be plain cross-entropy: the reference's eval metric
+    never included a regularization penalty (training/training.py:292-297),
+    and mixing it in would skew eval CSVs + monitor='loss' gating."""
+    from differential_equations_resnet_tpu.train.train_step import make_eval_step
+
+    w = 1e-2
+    model0 = tiny_model(3, 8)
+    model_l2 = tiny_model(3, 8, l2_regularization=w)
+    key = jax.random.key(0)
+    s0 = create_train_state(model0, key)
+    s1 = create_train_state(model_l2, key)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (8, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, (8,)))
+
+    m0 = make_eval_step(model0)(s0.params, s0.model_state, x, y)
+    m1 = make_eval_step(model_l2)(s1.params, s1.model_state, x, y)
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]), rtol=1e-6)
+
+
+def test_checkpoint_restore_rejects_structure_drift(tmp_path):
+    """Restoring into a target with a different pytree structure must raise,
+    not silently mis-assign leaves by flat order."""
+    model = tiny_model(2)
+    state = create_train_state(model, jax.random.key(0))
+    ckpt = Checkpointer(str(tmp_path), backend="pickle")
+    ckpt.save(state, 1)
+    bad_target = state._replace(model_state={"surprise": jnp.zeros(3)})
+    with pytest.raises(ValueError, match="structure"):
+        ckpt.restore(bad_target)
+    restored = ckpt.restore(state)  # matching structure still round-trips
+    assert int(restored.step) == int(state.step)
+
+
+def test_checkpoint_meta_sidecar_roundtrip(tmp_path):
+    """Sidecar metadata persists the exact monitored metrics (not the %.4f
+    name-rounded values) and is garbage-collected with its checkpoint."""
+    model = tiny_model(2)
+    state = create_train_state(model, jax.random.key(0))
+    ckpt = Checkpointer(str(tmp_path), backend="pickle", max_to_keep=1)
+    p1 = ckpt.save(state, 1, metrics={"loss": 1.23456789, "accuracy": 0.5})
+    p2 = ckpt.save(state, 2, metrics={"loss": 0.5, "accuracy": 0.75})
+    meta = ckpt.read_meta(p2)
+    assert meta["step"] == 2
+    np.testing.assert_allclose(meta["metrics"]["loss"], 0.5)
+    np.testing.assert_allclose(meta["metrics"]["accuracy"], 0.75)
+    assert ckpt.read_meta(p1) is None  # GC'd with its checkpoint
+    assert not os.path.exists(p1 + ".meta.json")
+    assert len(ckpt.list_checkpoints()) == 1  # sidecars don't count
+
+
+def test_evaluate_train_does_not_consume_training_iterator(tmp_path):
+    """`evaluate('train')` must run over a fresh dataset pass; consuming the
+    live training iterator would silently skip training batches."""
+    from differential_equations_resnet_tpu.data import create_dataset_from_arrays
+
+    n = 96
+    train_x = np.zeros((n, 32, 32, 3), np.float32)
+    # Tag every image with its index so batches are identifiable.
+    train_x[:, 0, 0, 0] = np.arange(n)
+    train_y = np.zeros((n,), np.int64)
+    ds = create_dataset_from_arrays(
+        train_x, train_y, batch_size=32, shuffle=False, repeat=True,
+    )
+    model = tiny_model(2, 8)
+    trainer = Training(model, train_dataset=ds, batch_size=32)
+
+    first = next(trainer._train_iter)[0][:, 0, 0, 0]
+    trainer.evaluate(dataset="train", num_steps=2)
+    second = next(trainer._train_iter)[0][:, 0, 0, 0]
+    np.testing.assert_array_equal(first, np.arange(0, 32))
+    np.testing.assert_array_equal(second, np.arange(32, 64))
