@@ -46,6 +46,8 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--remat", action="store_true")
     p.add_argument("--use-pallas", action="store_true")
+    p.add_argument("--s2d-block", type=int, default=2,
+                   help="b>1: space-to-depth packed integrator (exact; 0=off)")
 
 
 def _build_model(args):
@@ -80,6 +82,7 @@ def _build_model(args):
         integrator=args.integrator,
         remat=args.remat,
         use_pallas=args.use_pallas,
+        s2d_block=getattr(args, "s2d_block", 2),
     )
     return build_single_block_resnet(config)
 

@@ -6,6 +6,16 @@ Each instance is a callable dataset transform: ``preprocessor(dataset) ->
 dataset`` mapping over elements, exactly like the reference classes wrap
 ``dataset.map``.  ``num_parallel_calls`` is accepted everywhere for API
 parity (host-side parallelism comes from `NumpyDataset.prefetch`).
+
+Vectorized fast path: preprocessors whose semantics permit it also expose
+``apply_batch(images (B,H,W,C), labels) -> (images, labels)`` — one
+whole-batch NumPy transform with per-image random draws.  When every
+preprocessor in a chain supports it, `create_dataset_from_arrays` runs the
+vectorized gather pipeline and applies the chain batch-at-a-time instead of
+dropping to per-element Python iteration; at ~9k images/s of device demand
+(273 steps/s x batch 32) per-element Python map cannot keep up, batched
+NumPy exceeds it by orders of magnitude.  Randomness is drawn per element in
+both paths, so the augmentation distribution is identical.
 """
 
 from __future__ import annotations
@@ -43,6 +53,11 @@ class ConvertLabelsToOneHot:
             return image, one_hot
 
         return dataset.map(fn, num_parallel_calls=self.num_parallel_calls)
+
+    def apply_batch(self, images, labels):
+        one_hot = np.zeros((len(labels), self.num_classes), dtype=np.float32)
+        one_hot[np.arange(len(labels)), np.asarray(labels, np.int64)] = 1.0
+        return images, one_hot
 
 
 def _decode_image_bytes(data: bytes, channels: Optional[int]) -> np.ndarray:
@@ -128,6 +143,18 @@ class RandomCrop:
 
         return dataset.map(fn, num_parallel_calls=self.num_parallel_calls)
 
+    def apply_batch(self, images, labels):
+        n, h, w = images.shape[:3]
+        side = int(min(h, w) * self.scale)
+        tops = self._rng.integers(0, h - side + 1, size=n)
+        lefts = self._rng.integers(0, w - side + 1, size=n)
+        rows = tops[:, None] + np.arange(side)          # (N, side)
+        cols = lefts[:, None] + np.arange(side)         # (N, side)
+        out = images[
+            np.arange(n)[:, None, None], rows[:, :, None], cols[:, None, :]
+        ]
+        return out, labels
+
 
 def resize_bilinear(image: np.ndarray, target_size: Tuple[int, int]) -> np.ndarray:
     """Bilinear resize with TF-1 `resize_images` conventions
@@ -153,6 +180,32 @@ def resize_bilinear(image: np.ndarray, target_size: Tuple[int, int]) -> np.ndarr
     return top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
 
 
+def resize_bilinear_batch(
+    images: np.ndarray, target_size: Tuple[int, int]
+) -> np.ndarray:
+    """Batched :func:`resize_bilinear` over (B, H, W, C) with shared coords
+    (all images in an array batch have the same shape)."""
+    in_h, in_w = images.shape[1:3]
+    out_h, out_w = target_size
+    if (in_h, in_w) == (out_h, out_w):
+        return images.astype(np.float32)
+    img = images.astype(np.float32)
+
+    def axis_coords(n_in, n_out):
+        src = np.arange(n_out, dtype=np.float64) * (n_in / n_out)
+        lo = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
+        hi = np.clip(lo + 1, 0, n_in - 1)
+        return lo, hi, (src - lo).astype(np.float32)
+
+    y0, y1, fy = axis_coords(in_h, out_h)
+    x0, x1, fx = axis_coords(in_w, out_w)
+    fx = fx[None, None, :, None]
+    fy = fy[None, :, None, None]
+    top = img[:, y0][:, :, x0] * (1 - fx) + img[:, y0][:, :, x1] * fx
+    bot = img[:, y1][:, :, x0] * (1 - fx) + img[:, y1][:, :, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
 class Resize:
     def __init__(
         self,
@@ -164,16 +217,23 @@ class Resize:
         self.preserve_aspect_ratio = preserve_aspect_ratio
         self.num_parallel_calls = num_parallel_calls
 
+    def _target_for(self, h: int, w: int) -> Tuple[int, int]:
+        target = self.target_size
+        if self.preserve_aspect_ratio:
+            ratio = min(target[0] / h, target[1] / w)
+            target = (max(1, int(h * ratio)), max(1, int(w * ratio)))
+        return target
+
     def __call__(self, dataset: NumpyDataset) -> NumpyDataset:
         def fn(image, label):
-            target = self.target_size
-            if self.preserve_aspect_ratio:
-                h, w = image.shape[:2]
-                ratio = min(target[0] / h, target[1] / w)
-                target = (max(1, int(h * ratio)), max(1, int(w * ratio)))
-            return resize_bilinear(image, target), label
+            return resize_bilinear(image, self._target_for(*image.shape[:2])), label
 
         return dataset.map(fn, num_parallel_calls=self.num_parallel_calls)
+
+    def apply_batch(self, images, labels):
+        return resize_bilinear_batch(
+            images, self._target_for(*images.shape[1:3])
+        ), labels
 
 
 class ResizeWithPad:
@@ -200,6 +260,17 @@ class ResizeWithPad:
 
         return dataset.map(fn, num_parallel_calls=self.num_parallel_calls)
 
+    def apply_batch(self, images, labels):
+        th, tw = self.target_size
+        h, w = images.shape[1:3]
+        ratio = min(th / h, tw / w)
+        rh, rw = max(1, int(round(h * ratio))), max(1, int(round(w * ratio)))
+        resized = resize_bilinear_batch(images, (rh, rw))
+        pad_top, pad_left = (th - rh) // 2, (tw - rw) // 2
+        out = np.zeros((len(images), th, tw) + images.shape[3:], resized.dtype)
+        out[:, pad_top : pad_top + rh, pad_left : pad_left + rw] = resized
+        return out, labels
+
 
 class RandomFlipLeftRight:
     def __init__(self, num_parallel_calls=None, seed: Optional[int] = None):
@@ -213,6 +284,10 @@ class RandomFlipLeftRight:
             return image, label
 
         return dataset.map(fn, num_parallel_calls=self.num_parallel_calls)
+
+    def apply_batch(self, images, labels):
+        flip = self._rng.random(len(images)) < 0.5
+        return np.where(flip[:, None, None, None], images[:, :, ::-1], images), labels
 
 
 def _to_unit_float(image: np.ndarray) -> Tuple[np.ndarray, bool]:
@@ -243,6 +318,12 @@ class RandomBrightness:
             return _from_unit_float(unit + delta, was_int, image.dtype), label
 
         return dataset.map(fn, num_parallel_calls=self.num_parallel_calls)
+
+    def apply_batch(self, images, labels):
+        deltas = self._rng.uniform(-self.max_delta, self.max_delta, len(images))
+        unit, was_int = _to_unit_float(images)
+        out = unit + deltas[:, None, None, None].astype(np.float32)
+        return _from_unit_float(out, was_int, images.dtype), labels
 
 
 def rgb_to_hsv(rgb: np.ndarray) -> np.ndarray:
@@ -306,3 +387,13 @@ class RandomSaturation:
             return _from_unit_float(out, was_int, image.dtype), label
 
         return dataset.map(fn, num_parallel_calls=self.num_parallel_calls)
+
+    def apply_batch(self, images, labels):
+        factors = self._rng.uniform(self.lower, self.upper, len(images))
+        unit, was_int = _to_unit_float(images)
+        hsv = rgb_to_hsv(unit)  # shape-agnostic over leading axes
+        hsv[..., 1] = np.clip(
+            hsv[..., 1] * factors[:, None, None].astype(np.float32), 0.0, 1.0
+        )
+        out = hsv_to_rgb(hsv)
+        return _from_unit_float(out, was_int, images.dtype), labels

@@ -70,6 +70,9 @@ class SingleBlockResNetConfig:
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False    # fused Pallas integrator for the scan stages
     scan_unroll: int = 1        # unroll factor for the depth scan
+    s2d_block: int = 0          # b>1: run identity stages space-to-depth
+                                # packed (HxWxC -> H/b x W/b x b²C) for MXU
+                                # lane utilization at small C (ops/s2d.py)
 
     def __post_init__(self):
         if self.include_top and self.num_classes is None:
@@ -105,7 +108,14 @@ def cifar10_single_block_config(
 ) -> SingleBlockResNetConfig:
     """The headline CIFAR-10 experiment configuration
     (experiments_antisymmetric_resnet_v7.ipynb cells 1 & 5): 64 layers,
-    h = final_time / num_layers, 16 filters, input scaled by 127.5."""
+    h = final_time / num_layers, 16 filters, input scaled by 127.5.
+
+    Defaults to the space-to-depth-2 packed integrator (exact — ops/s2d.py):
+    at C=16 the packed path measured 372 vs 273 steps/s on one v5e for the
+    64Lx16F batch-32 headline step (the unpacked conv wastes 8x MXU lane
+    padding at N=16).  Pass ``s2d_block=0`` for the direct layout."""
+    defaults = dict(s2d_block=2)
+    defaults.update(overrides)
     return SingleBlockResNetConfig(
         image_shape=(32, 32, 3),
         kernel_type=kernel_type,
@@ -123,7 +133,7 @@ def cifar10_single_block_config(
         use_max_pooling=(False, False, False, False),
         subtract_mean=127.5,
         divide_by_stddev=127.5,
-        **overrides,
+        **defaults,
     )
 
 
@@ -277,6 +287,8 @@ def _apply_identity_blocks(x, sp, ss, config, train):
             return fused_euler_3x3(x, blocks, config.h, config.gamma), {}
         dense = _dense_blocks(blocks, config)
         if config.integrator == "euler":
+            if _s2d_eligible(config, x):
+                return _apply_identity_blocks_s2d(x, dense, config), {}
             # Euler fast path: custom-VJP step saving a bool relu mask
             # instead of the fp32 pre-activation (euler_relu_step docstring).
             def body(y, p):
@@ -308,6 +320,42 @@ def _apply_identity_blocks(x, sp, ss, config, train):
         body, x, (_dense_blocks(blocks, config), sp["blocks_bn"], ss["blocks_bn"])
     )
     return y, {"blocks_bn": new_states}
+
+
+def _s2d_eligible(config, x) -> bool:
+    b = config.s2d_block
+    return (
+        b > 1
+        and config.kernel_size == 3
+        and x.shape[1] % b == 0
+        and x.shape[2] % b == 0
+    )
+
+
+def _apply_identity_blocks_s2d(x, dense: ConvParams, config):
+    """The Euler stack in space-to-depth packed form (exact — see ops/s2d.py):
+    pack activations once, transform all L dense kernels in one vectorized
+    gather, scan in packed space, unpack once."""
+    from differential_equations_resnet_tpu.ops.s2d import (
+        depth_to_space,
+        pack_bias_s2d,
+        pack_kernel_s2d,
+        space_to_depth,
+    )
+
+    b = config.s2d_block
+    packed = ConvParams(
+        kernel=pack_kernel_s2d(dense.kernel, b),
+        bias=pack_bias_s2d(dense.bias, b),
+    )
+    y = space_to_depth(x, b)
+
+    def body(y, p):
+        return euler_relu_step(y, p.kernel, p.bias, config.h), None
+
+    body = jax.checkpoint(body) if config.remat else body
+    y, _ = jax.lax.scan(body, y, packed, unroll=config.scan_unroll)
+    return depth_to_space(y, b)
 
 
 def _pallas_eligible(config, x, blocks) -> bool:

@@ -256,7 +256,9 @@ def test_single_block_euler_fast_path_grad_parity():
     )
     from differential_equations_resnet_tpu.ops.integrators import integrate
 
-    config = cifar10_single_block_config(num_layers=3, num_filters=8)
+    # s2d_block=0: this test isolates the euler custom-VJP fast path against
+    # integrate(); the s2d packed layout has its own parity suite (test_s2d).
+    config = cifar10_single_block_config(num_layers=3, num_filters=8, s2d_block=0)
     model = build_single_block_resnet(config)
     params, state = model.init(jax.random.key(0))
     rng = np.random.default_rng(1)

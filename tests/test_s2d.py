@@ -1,0 +1,165 @@
+"""Space-to-depth packed conv exactness tests (ops/s2d.py): the packed path
+must be bit-equivalent (to fp32 tolerance) to the direct stride-1 3x3 SAME
+conv, including the zero-padding border, bias, the Euler residual step, the
+whole model forward, and gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from differential_equations_resnet_tpu.models import (
+    SingleBlockResNetConfig,
+    build_single_block_resnet,
+)
+from differential_equations_resnet_tpu.ops.conv import conv2d_same, euler_relu_step
+from differential_equations_resnet_tpu.ops.s2d import (
+    depth_to_space,
+    pack_bias_s2d,
+    pack_kernel_s2d,
+    space_to_depth,
+)
+
+
+def test_space_to_depth_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 5)), jnp.float32)
+    for b in (2, 4):
+        packed = space_to_depth(x, b)
+        assert packed.shape == (2, 8 // b, 12 // b, b * b * 5)
+        np.testing.assert_array_equal(depth_to_space(packed, b), x)
+
+
+def test_space_to_depth_layout_phase_major():
+    """c' = (p*b + q)*C + c: phase-major, original-channel-minor."""
+    x = np.zeros((1, 4, 4, 3), np.float32)
+    x[0, 1, 0, 2] = 7.0  # phase (p=1, q=0), channel 2 of packed pixel (0, 0)
+    packed = space_to_depth(jnp.asarray(x), 2)
+    expected_channel = (1 * 2 + 0) * 3 + 2
+    assert float(packed[0, 0, 0, expected_channel]) == 7.0
+    assert float(jnp.abs(packed).sum()) == 7.0
+
+
+@pytest.mark.parametrize("block", [2, 4])
+@pytest.mark.parametrize("channels", [3, 16])
+def test_packed_conv_matches_direct(block, channels):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, channels)), jnp.float32)
+    k = jnp.asarray(
+        rng.standard_normal((3, 3, channels, channels)), jnp.float32
+    )
+    bias = jnp.asarray(rng.standard_normal((channels,)), jnp.float32)
+
+    direct = conv2d_same(x, k, bias=bias)
+    packed = conv2d_same(
+        space_to_depth(x, block),
+        pack_kernel_s2d(k, block),
+        bias=pack_bias_s2d(bias, block),
+    )
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(packed, block)),
+        np.asarray(direct),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def test_packed_kernel_stacked_matches_per_layer():
+    rng = np.random.default_rng(2)
+    ks = jnp.asarray(rng.standard_normal((5, 3, 3, 4, 4)), jnp.float32)
+    stacked = pack_kernel_s2d(ks, 2)
+    assert stacked.shape == (5, 3, 3, 16, 16)
+    for layer in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(stacked[layer]), np.asarray(pack_kernel_s2d(ks[layer], 2))
+        )
+
+
+def test_packed_euler_step_matches_direct():
+    rng = np.random.default_rng(3)
+    c, h = 6, 0.37
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, c, c)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+
+    direct = euler_relu_step(x, k, bias, h)
+    packed = euler_relu_step(
+        space_to_depth(x, 2), pack_kernel_s2d(k, 2), pack_bias_s2d(bias, 2), h
+    )
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(packed, 2)), np.asarray(direct),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def _model_pair(kernel_type="antisymmetric", block=2):
+    base = dict(
+        image_shape=(8, 8, 3),
+        kernel_type=kernel_type,
+        h=0.25,
+        num_stages=2,
+        blocks_per_stage=(4,),
+        filters_per_block=(6,),
+        strides=((1, 1),),
+        num_classes=5,
+        subtract_mean=127.5,
+        divide_by_stddev=127.5,
+    )
+    model = build_single_block_resnet(SingleBlockResNetConfig(**base))
+    model_s2d = build_single_block_resnet(
+        SingleBlockResNetConfig(**base, s2d_block=block)
+    )
+    return model, model_s2d
+
+
+@pytest.mark.parametrize("kernel_type", ["antisymmetric", "regular"])
+def test_s2d_model_forward_and_grad_parity(kernel_type):
+    """The s2d_block=2 model must match the direct model on the SAME params:
+    forward logits and parameter gradients (fp32 tolerance)."""
+    model, model_s2d = _model_pair(kernel_type)
+    params, state = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (4, 8, 8, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 5, (4,)))
+
+    out, _ = model.apply(params, state, x, return_logits=True)
+    out_s2d, _ = model_s2d.apply(params, state, x, return_logits=True)
+    np.testing.assert_allclose(
+        np.asarray(out_s2d), np.asarray(out), rtol=1e-5, atol=1e-5
+    )
+
+    from differential_equations_resnet_tpu.train.train_step import (
+        cross_entropy_from_logits,
+    )
+
+    def loss(m):
+        def fn(p):
+            logits, _ = m.apply(p, state, x, return_logits=True)
+            return cross_entropy_from_logits(logits, y)
+
+        return fn
+
+    g = jax.grad(loss(model))(params)
+    g_s2d = jax.grad(loss(model_s2d))(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_s2d)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_s2d_skipped_when_ineligible():
+    """Odd spatial dims fall back to the direct path instead of crashing."""
+    config = SingleBlockResNetConfig(
+        image_shape=(7, 7, 3),
+        num_stages=2,
+        blocks_per_stage=(2,),
+        filters_per_block=(4,),
+        strides=((1, 1),),
+        num_classes=5,
+        h=0.5,
+        s2d_block=2,
+    )
+    model = build_single_block_resnet(config)
+    params, state = model.init(jax.random.key(0))
+    out, _ = model.apply(params, state, jnp.zeros((1, 7, 7, 3)))
+    assert out.shape == (1, 5)
