@@ -73,6 +73,17 @@ class SingleBlockResNetConfig:
     s2d_block: int = 0          # b>1: run identity stages space-to-depth
                                 # packed (HxWxC -> H/b x W/b x b²C) for MXU
                                 # lane utilization at small C (ops/s2d.py)
+    tp_mesh: Any = None         # Mesh: channel-shard the conv trunk over
+    tp_axis: str = "model"      # tp_axis (SURVEY.md section 2.3 row 3).
+                                # Packed antisymmetric params stay replicated
+                                # (the skew pair (i,j)/(j,i) is coupled inside
+                                # the materialization scatter); the DENSE
+                                # materialized kernels are sharded on c_out
+                                # and activations on C, so XLA all-gathers
+                                # activations per layer and reduce-scatters
+                                # the kernel gradient — the Megatron conv-TP
+                                # pattern with skew-pair co-residency solved
+                                # by sharding after the mirror fold.
 
     def __post_init__(self):
         if self.include_top and self.num_classes is None:
@@ -262,17 +273,41 @@ def _dense_field(y, p: ConvParams):
     return jax.nn.relu(conv2d_same(y, p.kernel, bias=p.bias))
 
 
+def _tp_constrain(x, config, *spec):
+    """Apply a tensor-parallel sharding constraint when config.tp_mesh is
+    set (no-op otherwise).  ``spec`` are PartitionSpec entries."""
+    if config.tp_mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(config.tp_mesh, PartitionSpec(*spec))
+    )
+
+
 def _dense_blocks(blocks, config) -> ConvParams:
     """Stacked (L, ...) block params -> stacked dense (L, 3, 3, C, C) conv
     kernels.  Antisymmetric kernels are materialized for ALL layers in one
     vectorized scatter BEFORE the depth scan (`materialize_3x3_stacked`) —
-    per-iteration scatters measured ~60% of step time on TPU."""
+    per-iteration scatters measured ~60% of step time on TPU.
+
+    With tp_mesh set, the dense kernels are channel-sharded on c_out AFTER
+    the skew mirror fold, so both members of each (i, j)/(j, i) pair are
+    produced from the replicated packed params and only the folded result is
+    distributed — the co-residency constraint of SURVEY.md section 2.3."""
     if isinstance(blocks, Antisym3x3Params):
-        return ConvParams(
+        dense = ConvParams(
             kernel=materialize_3x3_stacked(blocks, config.gamma),
             bias=blocks.bias,
         )
-    return blocks
+    else:
+        dense = blocks
+    return ConvParams(
+        kernel=_tp_constrain(
+            dense.kernel, config, None, None, None, None, config.tp_axis
+        ),
+        bias=_tp_constrain(dense.bias, config, None, config.tp_axis),
+    )
 
 
 def _apply_identity_blocks(x, sp, ss, config, train):
@@ -292,7 +327,11 @@ def _apply_identity_blocks(x, sp, ss, config, train):
             # Euler fast path: custom-VJP step saving a bool relu mask
             # instead of the fp32 pre-activation (euler_relu_step docstring).
             def body(y, p):
-                return euler_relu_step(y, p.kernel, p.bias, config.h), None
+                y = euler_relu_step(y, p.kernel, p.bias, config.h)
+                # TP: activations channel-sharded between layers; the SPMD
+                # partitioner all-gathers y for the next conv's input and
+                # each shard produces its own c_out slice.
+                return _tp_constrain(y, config, None, None, None, config.tp_axis), None
 
             body = jax.checkpoint(body) if config.remat else body
             y, _ = jax.lax.scan(body, x, dense, unroll=config.scan_unroll)
@@ -345,13 +384,18 @@ def _apply_identity_blocks_s2d(x, dense: ConvParams, config):
 
     b = config.s2d_block
     packed = ConvParams(
-        kernel=pack_kernel_s2d(dense.kernel, b),
-        bias=pack_bias_s2d(dense.bias, b),
+        kernel=_tp_constrain(
+            pack_kernel_s2d(dense.kernel, b), config,
+            None, None, None, None, config.tp_axis,
+        ),
+        bias=_tp_constrain(pack_bias_s2d(dense.bias, b), config,
+                           None, config.tp_axis),
     )
     y = space_to_depth(x, b)
 
     def body(y, p):
-        return euler_relu_step(y, p.kernel, p.bias, config.h), None
+        y = euler_relu_step(y, p.kernel, p.bias, config.h)
+        return _tp_constrain(y, config, None, None, None, config.tp_axis), None
 
     body = jax.checkpoint(body) if config.remat else body
     y, _ = jax.lax.scan(body, y, packed, unroll=config.scan_unroll)

@@ -1,0 +1,97 @@
+"""Worker process for the 2-process multi-host smoke test.
+
+Each process owns 4 virtual CPU devices; together they form one 8-device
+global 'data' mesh.  Exercises jax.distributed initialization, per-host
+input sharding (`local_batch_slice` + `jax.make_array_from_process_local_data`),
+a cross-process collective (global sum over the data axis), and one global
+data-parallel train step on a tiny model.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+process_id, num_processes, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+# Force exactly 4 local devices, overriding any inherited count (pytest's
+# conftest exports an 8-device flag that children would otherwise inherit).
+flags = [
+    f for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f
+]
+flags.append("--xla_force_host_platform_device_count=4")
+os.environ["XLA_FLAGS"] = " ".join(flags)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from differential_equations_resnet_tpu.parallel import (  # noqa: E402
+    create_mesh,
+    initialize_multihost,
+    local_batch_slice,
+)
+
+initialize_multihost(f"127.0.0.1:{port}", num_processes, process_id)
+assert jax.process_count() == num_processes, jax.process_count()
+assert jax.device_count() == 4 * num_processes
+assert len(jax.local_devices()) == 4
+
+mesh = create_mesh((jax.device_count(),), ("data",))
+data_sharding = NamedSharding(mesh, P("data"))
+
+# --- per-host input sharding + cross-process collective --------------------
+global_batch = 16
+sl = local_batch_slice(global_batch)
+full = np.arange(global_batch, dtype=np.float32)[:, None] * np.ones(
+    (1, 4), np.float32
+)
+local = full[sl]
+arr = jax.make_array_from_process_local_data(data_sharding, local, full.shape)
+total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+np.testing.assert_allclose(np.asarray(jax.device_get(total)), full.sum())
+
+# --- one global DP train step on a tiny model ------------------------------
+from differential_equations_resnet_tpu.models import (  # noqa: E402
+    build_single_block_resnet,
+    cifar10_single_block_config,
+)
+from differential_equations_resnet_tpu.train import (  # noqa: E402
+    create_train_state,
+    make_adam,
+    make_train_step,
+)
+
+model = build_single_block_resnet(
+    cifar10_single_block_config(num_layers=2, num_filters=8)
+)
+tx = make_adam()
+state = create_train_state(model, jax.random.key(0), tx)
+replicated = NamedSharding(mesh, P())
+# Replicate the state globally: every process supplies identical host values.
+state = jax.tree.map(
+    lambda a: jax.make_array_from_process_local_data(
+        replicated, np.asarray(a), np.shape(a)
+    ),
+    state,
+)
+
+rng = np.random.default_rng(0)
+x_full = rng.uniform(0, 255, (global_batch, 32, 32, 3)).astype(np.float32)
+y_full = rng.integers(0, 10, (global_batch,))
+x = jax.make_array_from_process_local_data(data_sharding, x_full[sl], x_full.shape)
+y = jax.make_array_from_process_local_data(data_sharding, y_full[sl], y_full.shape)
+
+step = make_train_step(model, tx, mesh=mesh, donate=False)
+new_state, metrics, grad_norms = step(state, x, y, 1e-3)
+loss = float(jax.device_get(metrics["loss"]))
+assert np.isfinite(loss)
+assert int(jax.device_get(new_state.step)) == 1
+
+print(f"MULTIHOST_OK {process_id} loss={loss:.4f}", flush=True)

@@ -1,0 +1,69 @@
+"""2-process multi-host smoke test (SURVEY.md section 2.3 row 4): spawns two
+`jax.distributed` CPU processes (4 virtual devices each) that form one
+8-device global mesh, shard inputs per host, run a cross-process collective
+and a global DP train step (tests/multihost_worker.py)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from differential_equations_resnet_tpu.data.pipeline import NumpyDataset
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_multihost_smoke():
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outputs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost workers timed out:\n" + "\n".join(outputs))
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"MULTIHOST_OK {i}" in out, f"worker {i} output:\n{out}"
+
+
+def test_per_host_input_sharding_covers_batch():
+    """local_batch_slice partitions a global batch contiguously and
+    NumpyDataset.shard partitions a stream disjointly/exhaustively —
+    single-process checks of the per-host input logic."""
+    # Simulate 4 hosts over a 32-batch via the same arithmetic the helper
+    # uses (process_count=1 in tests, so compute directly).
+    per_host = 32 // 4
+    slices = [slice(i * per_host, (i + 1) * per_host) for i in range(4)]
+    seen = np.concatenate([np.arange(32)[s] for s in slices])
+    np.testing.assert_array_equal(np.sort(seen), np.arange(32))
+
+    ds = NumpyDataset.from_tensor_slices(np.arange(12))
+    shards = [list(ds.shard(3, i)) for i in range(3)]
+    assert sorted(x for s in shards for x in s) == list(range(12))
+    assert all(len(s) == 4 for s in shards)

@@ -230,3 +230,82 @@ def test_shard_map_step_includes_l2_and_rejects_batch_norm():
     )
     with pytest.raises(ValueError, match="BatchNorm"):
         make_shard_map_train_step(bn_model, tx, mesh)
+
+
+@pytest.mark.parametrize("s2d_block", [0, 2])
+def test_conv_trunk_tensor_parallel_matches_replicated(s2d_block):
+    """Channel-TP on the conv trunk (dense kernels sharded on c_out after the
+    skew mirror fold, activations channel-sharded between layers) must match
+    the unsharded model's loss and gradients (SURVEY.md section 2.3 row 3)."""
+    mesh = create_mesh((2, 4), ("data", "model"))
+    base = dict(num_layers=4, num_filters=32, s2d_block=s2d_block)
+    config_tp = cifar10_single_block_config(tp_mesh=mesh, **base)
+    config_ref = cifar10_single_block_config(**base)
+    model_tp = build_single_block_resnet(config_tp)
+    model_ref = build_single_block_resnet(config_ref)
+    params, state = model_ref.init(jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (8, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, (8,)))
+
+    from differential_equations_resnet_tpu.train.train_step import (
+        cross_entropy_from_logits,
+    )
+
+    def make_loss(model):
+        def loss(p, xx, yy):
+            logits, _ = model.apply(p, state, xx, return_logits=True)
+            return cross_entropy_from_logits(logits, yy)
+
+        return loss
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    vag_tp = jax.jit(
+        jax.value_and_grad(make_loss(model_tp)),
+        in_shardings=(replicated, data, None),
+    )
+    l_tp, g_tp = vag_tp(
+        jax.device_put(params, replicated), jax.device_put(x, data), y
+    )
+    l_ref, g_ref = jax.jit(jax.value_and_grad(make_loss(model_ref)))(params, x, y)
+
+    np.testing.assert_allclose(float(l_tp), float(l_ref), rtol=1e-6)
+    # fp32 with cross-device reduction order differences: tolerate ~1e-5 abs.
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_tp)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=3e-5
+        )
+
+
+def test_conv_trunk_tp_actually_shards_kernels():
+    """The compiled TP step must carry channel shardings on the trunk (not
+    silently replicate everything): the optimized HLO contains a c_out-dim
+    tile of the (L, 3, 3, C, C) dense kernel stack."""
+    mesh = create_mesh((2, 4), ("data", "model"))
+    config = cifar10_single_block_config(
+        num_layers=4, num_filters=32, s2d_block=0, tp_mesh=mesh
+    )
+    model = build_single_block_resnet(config)
+    params, state = model.init(jax.random.key(0))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def fwd(p, xx):
+        logits, _ = model.apply(p, state, xx, return_logits=True)
+        return logits.sum()
+
+    lowered = jax.jit(fwd, in_shardings=(replicated, data)).lower(
+        jax.device_put(params, replicated),
+        jax.device_put(jnp.zeros((8, 32, 32, 3)), data),
+    )
+    hlo = lowered.compile().as_text()
+    # The dense kernel stack is (4, 3, 3, 32, 32); sharded on c_out over 4
+    # devices each shard is (4, 3, 3, 32, 8).
+    assert "f32[4,3,3,32,8]" in hlo, "trunk kernel not channel-sharded"
