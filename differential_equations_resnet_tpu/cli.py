@@ -99,7 +99,10 @@ def _load_data(args):
         print(f"# loading CIFAR-10 from {cifar_dir}", file=sys.stderr)
         return build_cifar10_dataset(cifar_dir)
     print("# CIFAR-10 not found on disk; using synthetic data", file=sys.stderr)
-    return synthetic_cifar10()
+    return synthetic_cifar10(
+        num_train=getattr(args, "synthetic_train_size", None) or 50000,
+        num_test=getattr(args, "synthetic_val_size", None) or 10000,
+    )
 
 
 def cmd_train(args) -> int:
@@ -582,6 +585,9 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--cifar10-dir", default=None)
+    p.add_argument("--synthetic-train-size", type=int, default=None,
+                   help="synthetic-fallback dataset size (default 50000)")
+    p.add_argument("--synthetic-val-size", type=int, default=None)
     p.add_argument("--csv-dir", default="./local/csv_logger")
     p.add_argument("--summaries-dir", default=None)
     p.add_argument("--save-dir", default=None)
@@ -600,6 +606,8 @@ def main(argv=None) -> int:
     _add_model_args(p)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--cifar10-dir", default=None)
+    p.add_argument("--synthetic-train-size", type=int, default=None)
+    p.add_argument("--synthetic-val-size", type=int, default=None)
     p.add_argument("--checkpoint", default=None)
     p.set_defaults(fn=cmd_evaluate)
 

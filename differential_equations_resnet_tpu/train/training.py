@@ -79,6 +79,13 @@ class Training:
         self.summaries = tuple(summaries)
 
         # -- data ------------------------------------------------------------
+        # Example counts (when known) let evaluate() default to one full pass.
+        self._num_train_examples = (
+            len(train_features) if train_features is not None else None
+        )
+        self._num_val_examples = (
+            len(val_features) if val_features is not None else None
+        )
         if train_dataset is None and train_features is not None:
             train_dataset = create_dataset_from_arrays(
                 train_features, train_labels, batch_size,
@@ -501,12 +508,24 @@ class Training:
         that wart via its feedable string handle; fixed here.)"""
         if dataset == "train":
             source = self.train_dataset
+            n = self._num_train_examples
+            # The training pipeline drops the remainder batch.
+            full_pass = None if n is None else max(1, n // self.batch_size)
         elif dataset == "val":
             source = self.val_dataset
+            n = self._num_val_examples
+            full_pass = None if n is None else -(-n // self.batch_size)
         else:
             raise ValueError("dataset must be 'train' or 'val'.")
         if source is None:
             raise ValueError(f"No {dataset} dataset available.")
+        if num_steps is None:
+            if full_pass is None:
+                raise ValueError(
+                    "num_steps is required when the dataset was passed as a "
+                    "pipeline object (example count unknown)."
+                )
+            num_steps = full_pass
         return self._run_eval(iter(source), num_steps, scan_steps)
 
     # -- inference -----------------------------------------------------------------

@@ -20,3 +20,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# NOTE on suite wall-time: a persistent XLA compilation cache
+# (jax_compilation_cache_dir) was evaluated and rejected — XLA:CPU AOT
+# deserialization logs machine-feature-mismatch errors (prefer-no-gather/
+# scatter pseudo-features) with a SIGILL caveat on reload.  The suite is kept
+# fast by sizing the test workloads instead.

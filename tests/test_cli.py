@@ -21,6 +21,8 @@ def _tiny_train_args(tmp_path, extra=()):
         "--steps-per-epoch", "3",
         "--eval-steps", "2",
         "--batch-size", "16",
+        "--synthetic-train-size", "128",
+        "--synthetic-val-size", "64",
         "--csv-dir", str(tmp_path / "csv"),
         "--summaries-frequency", "1",
         *extra,

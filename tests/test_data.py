@@ -93,10 +93,10 @@ def test_cifar10_loader_roundtrip(tmp_path):
     unpacking -> NHWC) against the reference formulas."""
     rng = np.random.default_rng(0)
     for i in range(1, 6):
-        data = rng.integers(0, 256, (10000, 3072), dtype=np.int64).astype(np.uint8)
+        data = np.frombuffer(rng.bytes(10000 * 3072), np.uint8).reshape(10000, 3072)
         with open(tmp_path / f"data_batch_{i}", "wb") as f:
             pickle.dump({b"data": data, b"labels": list(rng.integers(0, 10, 10000))}, f)
-    test_data = rng.integers(0, 256, (10000, 3072), dtype=np.int64).astype(np.uint8)
+    test_data = np.frombuffer(rng.bytes(10000 * 3072), np.uint8).reshape(10000, 3072)
     with open(tmp_path / "test_batch", "wb") as f:
         pickle.dump({b"data": test_data, b"labels": list(rng.integers(0, 10, 10000))}, f)
     with open(tmp_path / "batches.meta", "wb") as f:

@@ -136,7 +136,7 @@ def test_gradients_flow_to_all_params():
 
 def test_multi_stage_with_pooling_and_conv_blocks():
     cfg = SingleBlockResNetConfig(
-        image_shape=(32, 32, 3),
+        image_shape=(16, 16, 3),
         kernel_type="antisymmetric",
         num_stages=4,
         blocks_per_stage=(2, 2, 2),
@@ -150,12 +150,12 @@ def test_multi_stage_with_pooling_and_conv_blocks():
     params, state = model.init(jax.random.key(0))
     plans = stage_plans(cfg)
     assert [p.has_conv_block for p in plans] == [False, True, True]
-    x = jnp.ones((1, 32, 32, 3))
+    x = jnp.ones((1, 16, 16, 3))
     y, _ = model.apply(params, state, x)
     assert y.shape == (1, 10)
 
     cfg_pool = SingleBlockResNetConfig(
-        image_shape=(32, 32, 3),
+        image_shape=(16, 16, 3),
         kernel_type="regular",
         num_stages=3,
         blocks_per_stage=(2, 2),
@@ -180,7 +180,9 @@ def test_multi_stage_with_pooling_and_conv_blocks():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("version", [1, 1.5])
+@pytest.mark.parametrize(
+    "version", [1, pytest.param(1.5, marks=pytest.mark.slow)]
+)
 def test_bottleneck_resnet50_shapes(version):
     cfg = resnet_preset(
         "resnet50", num_classes=10, image_shape=(64, 64, 3), version=version
