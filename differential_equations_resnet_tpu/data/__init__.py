@@ -11,6 +11,12 @@ from differential_equations_resnet_tpu.data.cifar10 import (  # noqa: F401
     synthetic_cifar10,
     unpickle,
 )
+from differential_equations_resnet_tpu.data.mnist import (  # noqa: F401
+    build_mnist_dataset,
+    find_mnist_directory,
+    mnist_single_block_config,
+    synthetic_mnist,
+)
 from differential_equations_resnet_tpu.data.preprocessors import (  # noqa: F401
     ConvertLabelsToOneHot,
     DecodeImages,

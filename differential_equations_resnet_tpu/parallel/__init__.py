@@ -14,3 +14,7 @@ from differential_equations_resnet_tpu.parallel.mesh import (  # noqa: F401
 from differential_equations_resnet_tpu.parallel.shard_map_step import (  # noqa: F401
     make_shard_map_train_step,
 )
+from differential_equations_resnet_tpu.parallel.pipeline import (  # noqa: F401
+    pipeline_blocks_apply,
+    pipeline_scan,
+)
