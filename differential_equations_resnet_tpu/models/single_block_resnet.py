@@ -73,6 +73,12 @@ class SingleBlockResNetConfig:
     s2d_block: int = 0          # b>1: run identity stages space-to-depth
                                 # packed (HxWxC -> H/b x W/b x b²C) for MXU
                                 # lane utilization at small C (ops/s2d.py)
+    pp_mesh: Any = None         # Mesh: pipeline the identity-block stack over
+    pp_axis: str = "pipe"       # pp_axis (GPipe shard_map + ppermute over the
+    pp_microbatches: int = 0    # layer axis, parallel/pipeline.py); 0 micro-
+    pp_batch_axis: Any = None   # batches = one per stage.  pp_batch_axis
+                                # names a mesh axis the batch is already
+                                # sharded over (dp x pp composition).
     tp_mesh: Any = None         # Mesh: channel-shard the conv trunk over
     tp_axis: str = "model"      # tp_axis (SURVEY.md section 2.3 row 3).
                                 # Packed antisymmetric params stay replicated
@@ -97,6 +103,14 @@ class SingleBlockResNetConfig:
             raise ValueError(
                 "midpoint/rk4 integrators require use_batch_norm=False (the "
                 "block must be a pure ODE field)."
+            )
+        if self.pp_mesh is not None and (
+            self.integrator != "euler" or self.use_batch_norm or self.use_pallas
+        ):
+            raise ValueError(
+                "pp_mesh (pipeline parallelism) requires the plain Euler "
+                "identity stack: integrator='euler', use_batch_norm=False, "
+                "use_pallas=False."
             )
         if self.kernel_type == "antisymmetric" and self.kernel_size != 3:
             raise ValueError(
@@ -322,6 +336,8 @@ def _apply_identity_blocks(x, sp, ss, config, train):
             return fused_euler_3x3(x, blocks, config.h, config.gamma), {}
         dense = _dense_blocks(blocks, config)
         if config.integrator == "euler":
+            if config.pp_mesh is not None:
+                return _apply_identity_blocks_pipelined(x, dense, config), {}
             if _s2d_eligible(config, x):
                 return _apply_identity_blocks_s2d(x, dense, config), {}
             # Euler fast path: custom-VJP step saving a bool relu mask
@@ -400,6 +416,41 @@ def _apply_identity_blocks_s2d(x, dense: ConvParams, config):
     body = jax.checkpoint(body) if config.remat else body
     y, _ = jax.lax.scan(body, y, packed, unroll=config.scan_unroll)
     return depth_to_space(y, b)
+
+
+def _apply_identity_blocks_pipelined(x, dense: ConvParams, config):
+    """The Euler stack pipelined over config.pp_mesh[config.pp_axis]
+    (parallel/pipeline.py) — depth split across stages, activations handed
+    stage-to-stage via ppermute.  Composes with the s2d packed layout (the
+    packed scan has the identical conv-stack form, so packing happens before
+    pipelining and unpacking after)."""
+    from differential_equations_resnet_tpu.parallel.pipeline import (
+        pipeline_blocks_apply,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    kernel, bias = dense.kernel, dense.bias
+    packed = _s2d_eligible(config, x)
+    if packed:
+        from differential_equations_resnet_tpu.ops.s2d import (
+            depth_to_space,
+            pack_bias_s2d,
+            pack_kernel_s2d,
+            space_to_depth,
+        )
+
+        kernel = pack_kernel_s2d(kernel, config.s2d_block)
+        bias = pack_bias_s2d(bias, config.s2d_block)
+        x = space_to_depth(x, config.s2d_block)
+    y = pipeline_blocks_apply(
+        kernel, bias, x, config.h, config.pp_mesh,
+        axis_name=config.pp_axis,
+        num_microbatches=config.pp_microbatches or None,
+        batch_spec=P(config.pp_batch_axis) if config.pp_batch_axis else P(),
+    )
+    if packed:
+        y = depth_to_space(y, config.s2d_block)
+    return y
 
 
 def _pallas_eligible(config, x, blocks) -> bool:

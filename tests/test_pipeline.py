@@ -70,6 +70,60 @@ def test_pipeline_rejects_indivisible():
         pipeline_blocks_apply(kernels, biases, x, h, mesh, num_microbatches=3)
 
 
+@pytest.mark.parametrize("s2d_block", [0, 2])
+def test_model_level_pipeline_matches_direct(s2d_block):
+    """pp_mesh in the model config: the full model (stem -> pipelined
+    identity stack -> head) must match the unpipelined model on the same
+    params — forward logits and parameter gradients (incl. the packed s2d
+    composition)."""
+    from differential_equations_resnet_tpu.models import (
+        build_single_block_resnet,
+        cifar10_single_block_config,
+    )
+    from differential_equations_resnet_tpu.train.train_step import (
+        cross_entropy_from_logits,
+    )
+
+    mesh = _mesh(4)
+    common = dict(num_layers=8, num_filters=8, s2d_block=s2d_block)
+    model = build_single_block_resnet(cifar10_single_block_config(**common))
+    model_pp = build_single_block_resnet(
+        cifar10_single_block_config(**common, pp_mesh=mesh, pp_microbatches=4)
+    )
+    params, state = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (8, 8, 8, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 10, (8,)))
+
+    out, _ = model.apply(params, state, x, return_logits=True)
+    out_pp, _ = model_pp.apply(params, state, x, return_logits=True)
+    np.testing.assert_allclose(np.asarray(out_pp), np.asarray(out), rtol=1e-5, atol=1e-5)
+
+    def loss(m):
+        def fn(p):
+            logits, _ = m.apply(p, state, x, return_logits=True)
+            return cross_entropy_from_logits(logits, labels)
+
+        return fn
+
+    g = jax.grad(loss(model))(params)
+    g_pp = jax.grad(loss(model_pp))(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_pp)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_model_pipeline_config_validation():
+    from differential_equations_resnet_tpu.models import (
+        cifar10_single_block_config,
+    )
+
+    mesh = _mesh(2)
+    with pytest.raises(ValueError, match="pipeline parallelism"):
+        cifar10_single_block_config(pp_mesh=mesh, integrator="rk4")
+
+
 def test_pipeline_composes_with_dp():
     """dp x pp on a (2, 4) mesh: batch sharded over 'data', layers over
     'pipe' — each data-shard runs its own 4-stage pipeline."""
