@@ -12,6 +12,8 @@ monitoring actually works — reference `:637,667`), and a working `predict`
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
 from typing import Any, Callable, Iterator, Optional, Sequence
 
@@ -258,46 +260,84 @@ class Training:
             lrs = []
             epoch_first_step = self.global_step + 1
             steps_done = 0
-            while steps_done < steps_per_epoch:
-                if scan_k and steps_per_epoch - steps_done >= scan_k:
-                    # K steps in one dispatch (make_multi_step docstring).
-                    k_lrs = np.asarray(
-                        [float(learning_rate_schedule(self.global_step + i))
-                         for i in range(scan_k)],
-                        np.float32,
-                    )
-                    batches = [next(self._train_iter) for _ in range(scan_k)]
-                    if len({b[0].shape for b in batches}) != 1:
-                        # Ragged chunk (e.g. a short epoch-boundary batch from
-                        # a dataset without drop_remainder): run these through
-                        # the single-step path instead of np.stack-crashing.
-                        for images, labels in batches:
-                            images, labels = self._device_batch((images, labels))
-                            lr = float(learning_rate_schedule(self.global_step))
-                            self.state, metrics, grad_norms = self._train_step(
-                                self.state, images, labels, lr
-                            )
-                            self._host_step += 1
-                            steps_done += 1
-                            if self.record_summaries:
-                                pending_rows.append(
-                                    self._pack_row(metrics, grad_norms)
-                                )
-                                lrs.append(lr)
-                            else:
-                                self.train_metrics.update(
-                                    metrics["loss"], metrics["correct"],
-                                    metrics["count"],
-                                )
-                        continue
-                    images = np.stack([b[0] for b in batches])
-                    labels = np.stack([b[1] for b in batches])
-                    if self.mesh is not None:
-                        from jax.sharding import NamedSharding, PartitionSpec as P
+            # Batch assembly + host->device transfer run on a daemon producer
+            # thread, double-buffered through a bounded queue, so the dispatch
+            # loop never waits on host staging.  At headline throughput the
+            # host work (K-batch gather + stack + tunnel transfer) is
+            # comparable to the device's whole K-step compute; serializing
+            # them costs ~1/3 of end-to-end throughput (docs/RESULTS.md §1).
+            # LR values are computed ahead from a local step counter — steps
+            # are strictly sequential, so they match dispatch-time values.
+            stage_q: queue.Queue = queue.Queue(maxsize=2)
 
-                        sh = NamedSharding(self.mesh, P(None, "data"))
-                        images = jax.device_put(images, sh)
-                        labels = jax.device_put(labels, sh)
+            def _producer(first_step: int, total: int) -> None:
+                try:
+                    step, remaining = first_step, total
+                    while remaining > 0:
+                        if scan_k and remaining >= scan_k:
+                            # K steps in one dispatch (make_multi_step).
+                            batches = [
+                                next(self._train_iter) for _ in range(scan_k)
+                            ]
+                            if len({b[0].shape for b in batches}) != 1:
+                                # Ragged chunk (e.g. a short epoch-boundary
+                                # batch from a dataset without drop_remainder):
+                                # stage each batch for the single-step path
+                                # instead of np.stack-crashing.
+                                for images, labels in batches:
+                                    images, labels = self._device_batch(
+                                        (images, labels)
+                                    )
+                                    lr = float(learning_rate_schedule(step))
+                                    stage_q.put(("single", images, labels, lr))
+                                    step += 1
+                                    remaining -= 1
+                                continue
+                            k_lrs = np.asarray(
+                                [float(learning_rate_schedule(step + i))
+                                 for i in range(scan_k)],
+                                np.float32,
+                            )
+                            images = np.stack([b[0] for b in batches])
+                            labels = np.stack([b[1] for b in batches])
+                            if self.mesh is not None:
+                                from jax.sharding import (
+                                    NamedSharding, PartitionSpec as P,
+                                )
+
+                                sh = NamedSharding(self.mesh, P(None, "data"))
+                                images = jax.device_put(images, sh)
+                                labels = jax.device_put(labels, sh)
+                            stage_q.put(("chunk", images, labels, k_lrs))
+                            step += scan_k
+                            remaining -= scan_k
+                        else:
+                            images, labels = self._device_batch(
+                                next(self._train_iter)
+                            )
+                            lr = float(learning_rate_schedule(step))
+                            stage_q.put(("single", images, labels, lr))
+                            step += 1
+                            remaining -= 1
+                except BaseException as e:  # propagate to the dispatch loop
+                    stage_q.put(("error", e))
+                else:
+                    stage_q.put(("end",))
+
+            producer = threading.Thread(
+                target=_producer, args=(self.global_step, steps_per_epoch),
+                daemon=True,
+            )
+            producer.start()
+            while True:
+                item = stage_q.get()
+                kind = item[0]
+                if kind == "error":
+                    raise item[1]
+                if kind == "end":
+                    break
+                if kind == "chunk":
+                    _, images, labels, k_lrs = item
                     self.state, metrics, grad_norms = multi_step(
                         self.state, images, labels, jnp.asarray(k_lrs)
                     )
@@ -313,24 +353,24 @@ class Training:
                         self.train_metrics.update(
                             metrics["loss"], metrics["correct"], metrics["count"]
                         )
-                    continue
-                lr = float(learning_rate_schedule(self.global_step))
-                images, labels = self._device_batch(next(self._train_iter))
-                self.state, metrics, grad_norms = self._train_step(
-                    self.state, images, labels, lr
-                )
-                self._host_step += 1
-                steps_done += 1
-                if self.record_summaries:
-                    pending_rows.append(self._pack_row(metrics, grad_norms))
-                    if len(pending_rows) == chunk:
-                        row_chunks.append(jnp.stack(pending_rows))
-                        pending_rows = []
-                    lrs.append(lr)
-                else:
-                    self.train_metrics.update(
-                        metrics["loss"], metrics["correct"], metrics["count"]
+                else:  # "single"
+                    _, images, labels, lr = item
+                    self.state, metrics, grad_norms = self._train_step(
+                        self.state, images, labels, lr
                     )
+                    self._host_step += 1
+                    steps_done += 1
+                    if self.record_summaries:
+                        pending_rows.append(self._pack_row(metrics, grad_norms))
+                        if len(pending_rows) == chunk:
+                            row_chunks.append(jnp.stack(pending_rows))
+                            pending_rows = []
+                        lrs.append(lr)
+                    else:
+                        self.train_metrics.update(
+                            metrics["loss"], metrics["correct"], metrics["count"]
+                        )
+            producer.join()
 
             if profiling:
                 jax.profiler.stop_trace()
