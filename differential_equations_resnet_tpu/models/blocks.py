@@ -152,6 +152,7 @@ def l2_kernel_penalty(params, weight: float) -> jax.Array:
     layers/tfkeras_layer_Conv2DAntisymmetric3By3.py:123,223-244 with the
     dependent mirrors and center at regularizer=None, :152,257)."""
     from differential_equations_resnet_tpu.ops.antisymmetric import (
+        Antisym3x3DenseParams,
         Antisym3x3Params,
         AntisymKxKParams,
     )
@@ -161,7 +162,9 @@ def l2_kernel_penalty(params, weight: float) -> jax.Array:
     def collect(p):
         if isinstance(p, (ConvParams, DenseParams)):
             leaves.append(p.kernel)
-        elif isinstance(p, Antisym3x3Params):
+        elif isinstance(p, (Antisym3x3Params, Antisym3x3DenseParams)):
+            # Dense layout: the structural zeros contribute 0 to the sum, so
+            # the penalty equals the packed layout's exactly.
             leaves.extend([p.a, p.b, p.c, p.d, p.cross])
         elif isinstance(p, AntisymKxKParams):
             leaves.extend([p.diag, p.cross])

@@ -25,7 +25,7 @@ from differential_equations_resnet_tpu.models.blocks import (
     init_dense,
     max_pool,
 )
-from differential_equations_resnet_tpu.ops.antisymmetric import init_antisym_3x3
+from differential_equations_resnet_tpu.ops.antisymmetric import init_antisym_3x3_dense
 from differential_equations_resnet_tpu.ops.conv import (
     antisym_conv2d_3x3,
     conv2d_same,
@@ -124,7 +124,11 @@ def _init_bottleneck_block(key, config, in_channels, filters: Filters, dtype):
     p = {"conv1": init_conv(k1, (1, 1), in_channels, f0, dtype=dtype)}
     s = {}
     if _mid_is_antisym(config, filters):
-        p["conv2"] = init_antisym_3x3(k2, f0, dtype=dtype)
+        # Dense-lower layout: at bottleneck widths (C up to 512) the
+        # packed layout's scatter materialization costs more than the
+        # block's convs (see Antisym3x3DenseParams); init draws are
+        # bit-identical to the packed init on the same key.
+        p["conv2"] = init_antisym_3x3_dense(k2, f0, dtype=dtype)
         mid_out = f0
     else:
         p["conv2"] = init_conv(k2, (3, 3), f0, f1, dtype=dtype)

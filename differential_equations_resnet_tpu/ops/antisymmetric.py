@@ -194,6 +194,106 @@ def materialize_3x3_stacked(params: Antisym3x3Params, gamma: float = 0.0) -> jax
     return kernel
 
 
+class Antisym3x3DenseParams(NamedTuple):
+    """Dense-lower-triangular storage of the 3x3 antisymmetric conv's free
+    parameters — the same math as :class:`Antisym3x3Params`, a different
+    layout, chosen for wide channel counts.
+
+    ``cross`` holds the free (c_in > c_out) channel blocks at their natural
+    positions in a ``(..., 3, 3, C, C)`` tensor, zeros elsewhere, so
+    materialization is pure elementwise algebra (mask, flip, transpose, add)
+    with no gather or scatter.  That matters at large C: XLA lowers the
+    packed layout's triangle expansion to an element-serial scatter costing
+    ~27 ms at C=512 — more than all of a bottleneck block's convs together —
+    which is how the reference's own antisymmetric ResNet-50 path got 23-87×
+    slower than its regular convs.  Gradients to the zero (mirror, diagonal,
+    upper-triangle) positions are structurally zero because the lower-triangle
+    mask is applied inside materialization, so the redundant storage stays
+    zero under optimization and L2-penalty sums equal the packed layout's.
+
+    Trainable DOF is identical to the packed layout (the extra entries are
+    frozen zeros); use :func:`packed_from_dense` / :func:`dense_from_packed`
+    for interop with weight surgery and the reference kernel format.
+    """
+
+    a: jax.Array            # (..., C)
+    b: jax.Array            # (..., C)
+    c: jax.Array            # (..., C)
+    d: jax.Array            # (..., C)
+    cross: jax.Array        # (..., 3, 3, C, C), strictly lower (c_in > c_out)
+    bias: Optional[jax.Array] = None  # (..., C) or None
+
+
+def dense_from_packed(params: Antisym3x3Params) -> Antisym3x3DenseParams:
+    """Packed (..., 3, 3, P) cross -> dense (..., 3, 3, C, C) lower-triangle
+    storage (one scatter; conversion/init-time only, never in a hot path)."""
+    channels = params.a.shape[-1]
+    ci, co = cross_pair_indices(channels)
+    dense = jnp.zeros(
+        params.cross.shape[:-1] + (channels, channels), params.cross.dtype
+    )
+    if ci.size:
+        dense = dense.at[..., ci, co].set(params.cross)
+    return Antisym3x3DenseParams(
+        a=params.a, b=params.b, c=params.c, d=params.d,
+        cross=dense, bias=params.bias,
+    )
+
+
+def packed_from_dense(params: Antisym3x3DenseParams) -> Antisym3x3Params:
+    """Inverse of :func:`dense_from_packed` (one gather)."""
+    channels = params.a.shape[-1]
+    ci, co = cross_pair_indices(channels)
+    return Antisym3x3Params(
+        a=params.a, b=params.b, c=params.c, d=params.d,
+        cross=params.cross[..., ci, co], bias=params.bias,
+    )
+
+
+def init_antisym_3x3_dense(
+    key: jax.Array,
+    channels: int,
+    use_bias: bool = True,
+    dtype=jnp.float32,
+) -> Antisym3x3DenseParams:
+    """Dense-layout init, bit-identical draws to :func:`init_antisym_3x3`
+    on the same key (the packed draw is scattered into place)."""
+    return dense_from_packed(init_antisym_3x3(key, channels, use_bias, dtype))
+
+
+def materialize_3x3_from_dense(
+    params: Antisym3x3DenseParams, gamma: float = 0.0
+) -> jax.Array:
+    """Dense-lower params -> the full (..., 3, 3, C, C) HWIO kernel with NO
+    gather/scatter:
+
+        W = lower_mask * cross
+        K = W − flip_hw(W)ᵀ_channels + diag(a,b,c,d,γ)·I
+
+    ``W − flip(W).swap(cin,cout)`` reproduces both the free blocks (upper
+    entries of W are zero) and their ``-rot180`` mirrors, and is zero on the
+    channel diagonal, exactly matching :func:`materialize_3x3`'s scatter
+    semantics (verified bit-identical in tests).  Everything fuses into one
+    elementwise pass — HBM-bound at any C."""
+    a, b, c, d = params.a, params.b, params.c, params.d
+    channels = a.shape[-1]
+    g = jnp.full_like(a, gamma)
+    # (..., 3, 3, C) diagonal blocks: [[a, b, c], [d, g, -d], [-c, -b, -a]]
+    diag = jnp.stack(
+        [
+            jnp.stack([a, b, c], axis=-2),
+            jnp.stack([d, g, -d], axis=-2),
+            jnp.stack([-c, -b, -a], axis=-2),
+        ],
+        axis=-3,
+    )
+    lower = jnp.asarray(np.tri(channels, k=-1, dtype=bool))
+    w = jnp.where(lower, params.cross, jnp.zeros((), params.cross.dtype))
+    kernel = w - jnp.flip(w, (-4, -3)).swapaxes(-1, -2)
+    eye = jnp.eye(channels, dtype=a.dtype)
+    return kernel + diag[..., None] * eye
+
+
 def pack_3x3(kernel: jax.Array, bias: Optional[jax.Array] = None) -> Antisym3x3Params:
     """Inverse of :func:`materialize_3x3` (up to the constant gamma center):
     extract the packed free parameters from a dense (3, 3, C, C) kernel.

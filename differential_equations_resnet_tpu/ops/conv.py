@@ -19,7 +19,9 @@ import jax.numpy as jnp
 
 from differential_equations_resnet_tpu.ops.antisymmetric import (
     Antisym3x3Params,
+    Antisym3x3DenseParams,
     materialize_3x3,
+    materialize_3x3_from_dense,
 )
 
 DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
@@ -75,8 +77,13 @@ def antisym_conv2d_3x3(
     """Antisymmetric 3x3 conv: materialize K from packed params, conv, + bias.
 
     Functional equivalent of `Conv2DAntisymmetric3By3.call`
-    (`layers/tfkeras_layer_Conv2DAntisymmetric3By3.py:157-171`)."""
-    kernel = materialize_3x3(params, gamma)
+    (`layers/tfkeras_layer_Conv2DAntisymmetric3By3.py:157-171`).  Accepts
+    either parameter layout; the dense-lower layout materializes without a
+    scatter (the right choice at large C — see Antisym3x3DenseParams)."""
+    if isinstance(params, Antisym3x3DenseParams):
+        kernel = materialize_3x3_from_dense(params, gamma)
+    else:
+        kernel = materialize_3x3(params, gamma)
     return conv2d_same(x, kernel, strides=strides, bias=params.bias)
 
 

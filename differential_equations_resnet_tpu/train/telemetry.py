@@ -33,7 +33,11 @@ from differential_equations_resnet_tpu.models.single_block_resnet import (
     SingleBlockResNetConfig,
     stage_plans,
 )
-from differential_equations_resnet_tpu.ops.antisymmetric import Antisym3x3Params
+from differential_equations_resnet_tpu.ops.antisymmetric import (
+    Antisym3x3DenseParams,
+    Antisym3x3Params,
+    num_cross_pairs,
+)
 
 
 def _mean_norm(x: jnp.ndarray) -> jnp.ndarray:
@@ -45,7 +49,7 @@ def _kernel_leaves(block_grads):
     antisymmetric parameters (a, b, c, d, cross — the reference's 19 merged
     kernel variables, training/training.py:395-403) or the dense conv kernel.
     Biases are excluded, as in the reference metrics."""
-    if isinstance(block_grads, Antisym3x3Params):
+    if isinstance(block_grads, (Antisym3x3Params, Antisym3x3DenseParams)):
         return [block_grads.a, block_grads.b, block_grads.c, block_grads.d,
                 block_grads.cross]
     if isinstance(block_grads, ConvParams):
@@ -55,6 +59,23 @@ def _kernel_leaves(block_grads):
     raise TypeError(f"Unsupported block grads type {type(block_grads)}.")
 
 
+def _per_layer_free_size(block_grads, stacked: bool) -> int:
+    """Trainable-DOF count of one layer's kernel leaves (ignoring a leading
+    stacked-layer axis when ``stacked``).  The dense-lower layout stores
+    9*C*C cross entries but only 9*C*(C-1)/2 are free — the rest are
+    structural zeros with zero gradients — so the mean-norm divisor counts
+    free DOF and the dense and packed layouts report identical telemetry
+    (the reference divides by variable size, ‖∇‖₂/size)."""
+    if isinstance(block_grads, (Antisym3x3Params, Antisym3x3DenseParams)):
+        channels = block_grads.a.shape[-1]
+        return 4 * channels + 9 * num_cross_pairs(channels)
+    if isinstance(block_grads, dict):
+        return _per_layer_free_size(block_grads["conv2"], stacked)
+    leaves = _kernel_leaves(block_grads)
+    start = 1 if stacked else 0
+    return sum(int(np.prod(leaf.shape[start:])) for leaf in leaves)
+
+
 def _stacked_mean_norms(block_grads) -> jnp.ndarray:
     """(L,) per-layer mean norms over stacked block grads (one reduction)."""
     leaves = _kernel_leaves(block_grads)
@@ -62,8 +83,7 @@ def _stacked_mean_norms(block_grads) -> jnp.ndarray:
         jnp.sum(jnp.square(leaf), axis=tuple(range(1, leaf.ndim)))
         for leaf in leaves
     )
-    per_layer_size = sum(int(np.prod(leaf.shape[1:])) for leaf in leaves)
-    return jnp.sqrt(sq) / per_layer_size
+    return jnp.sqrt(sq) / _per_layer_free_size(block_grads, stacked=True)
 
 
 # ---------------------------------------------------------------------------
@@ -113,8 +133,7 @@ def gradient_mean_norms(grads, config) -> jnp.ndarray:
             conv2 = sg["conv_block"]["conv2"]
             leaves = _kernel_leaves(conv2)
             sq = sum(jnp.sum(jnp.square(leaf)) for leaf in leaves)
-            size = sum(leaf.size for leaf in leaves)
-            values.append(jnp.sqrt(sq) / size)
+            values.append(jnp.sqrt(sq) / _per_layer_free_size(conv2, stacked=False))
             if sg["identity_blocks"] is not None:
                 values.append(_stacked_mean_norms(sg["identity_blocks"]))
     else:

@@ -42,12 +42,13 @@ def _register_param_serializations() -> None:
         DenseParams,
     )
     from differential_equations_resnet_tpu.ops.antisymmetric import (
+        Antisym3x3DenseParams,
         Antisym3x3Params,
         AntisymKxKParams,
     )
 
     for cls in (ConvParams, DenseParams, BatchNormParams, BatchNormState,
-                Antisym3x3Params, AntisymKxKParams):
+                Antisym3x3Params, Antisym3x3DenseParams, AntisymKxKParams):
         try:
             jax_export.register_namedtuple_serialization(
                 cls, serialized_name=f"deqres.{cls.__name__}"

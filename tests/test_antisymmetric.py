@@ -250,3 +250,105 @@ def test_materialize_3x3_stacked_matches_per_layer():
             np.asarray(dense_stacked[l]),
             np.asarray(materialize_3x3(per_layer[l], gamma)),
         )
+
+
+# ---------------------------------------------------------------------------
+# Dense-lower-triangular layout (the bottleneck family's storage at large C)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("channels", [1, 2, 5, 16])
+@pytest.mark.parametrize("gamma", [0.0, 0.3])
+def test_dense_materialize_matches_packed(channels, gamma):
+    """materialize_3x3_from_dense must be bit-identical to the packed
+    scatter materialization — same math, scatter-free construction."""
+    from differential_equations_resnet_tpu.ops import (
+        dense_from_packed,
+        materialize_3x3_from_dense,
+    )
+
+    p = init_antisym_3x3(jax.random.key(0), channels)
+    np.testing.assert_array_equal(
+        np.asarray(materialize_3x3_from_dense(dense_from_packed(p), gamma)),
+        np.asarray(materialize_3x3(p, gamma)),
+    )
+
+
+def test_dense_packed_roundtrip_and_init():
+    from differential_equations_resnet_tpu.ops import (
+        dense_from_packed,
+        init_antisym_3x3_dense,
+        packed_from_dense,
+    )
+
+    p = init_antisym_3x3(jax.random.key(7), 9)
+    rt = packed_from_dense(dense_from_packed(p))
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(rt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Same-key init draws are bit-identical across layouts.
+    d = init_antisym_3x3_dense(jax.random.key(7), 9)
+    rt2 = packed_from_dense(d)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(rt2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dense_gradients_stay_in_lower_triangle():
+    """The lower-triangle mask inside materialization must zero gradients to
+    every structural-zero position (mirror/diagonal/upper), so the redundant
+    storage cannot drift under optimization."""
+    from differential_equations_resnet_tpu.ops import (
+        init_antisym_3x3_dense,
+        materialize_3x3_from_dense,
+    )
+
+    C = 6
+    d = init_antisym_3x3_dense(jax.random.key(1), C)
+    # Random weighting: a symmetric loss (e.g. sum(K**3)) would cancel the
+    # free and mirror contributions and zero every gradient.
+    r = jax.random.normal(jax.random.key(9), (3, 3, C, C))
+    g = jax.grad(
+        lambda p: jnp.sum(materialize_3x3_from_dense(p, 0.2) * r)
+    )(d)
+    lower = np.tri(C, k=-1, dtype=bool)
+    gc = np.asarray(g.cross)
+    assert np.all(gc[:, :, ~lower] == 0.0)
+    assert np.any(gc[:, :, lower] != 0.0)
+
+
+def test_dense_conv_and_penalty_match_packed():
+    """antisym_conv2d_3x3 and l2_kernel_penalty agree across layouts."""
+    from differential_equations_resnet_tpu.models.blocks import l2_kernel_penalty
+    from differential_equations_resnet_tpu.ops import (
+        antisym_conv2d_3x3,
+        dense_from_packed,
+    )
+
+    C = 8
+    p = init_antisym_3x3(jax.random.key(2), C)
+    d = dense_from_packed(p)
+    x = jax.random.normal(jax.random.key(3), (2, 10, 10, C))
+    np.testing.assert_array_equal(
+        np.asarray(antisym_conv2d_3x3(x, d, gamma=0.1)),
+        np.asarray(antisym_conv2d_3x3(x, p, gamma=0.1)),
+    )
+    np.testing.assert_allclose(
+        float(l2_kernel_penalty({"k": d}, 0.01)),
+        float(l2_kernel_penalty({"k": p}, 0.01)),
+        rtol=1e-6,  # summation order differs (dense reduces the zeros too)
+    )
+
+
+def test_dense_telemetry_free_size_matches_packed():
+    from differential_equations_resnet_tpu.ops import dense_from_packed
+    from differential_equations_resnet_tpu.train.telemetry import (
+        _per_layer_free_size,
+    )
+
+    p = init_antisym_3x3(jax.random.key(4), 12)
+    d = dense_from_packed(p)
+    assert _per_layer_free_size(d, stacked=False) == _per_layer_free_size(
+        p, stacked=False
+    )
+    assert _per_layer_free_size({"conv2": d}, stacked=False) == 4 * 12 + 9 * (
+        12 * 11 // 2
+    )
