@@ -30,6 +30,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from differential_equations_resnet_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+
     from differential_equations_resnet_tpu.data.cifar10 import (
         find_cifar10_directory,
         build_cifar10_dataset,

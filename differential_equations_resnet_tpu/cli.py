@@ -574,6 +574,15 @@ def cmd_export(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Persistent XLA compilation cache: repeat CLI runs load the serialized
+    # train-step executable in <1 s instead of recompiling (tens of seconds,
+    # highly load-variable on tunneled backends).  DEQRES_COMPILE_CACHE=0
+    # opts out (utils/compile_cache.py).
+    from differential_equations_resnet_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(prog="deqres", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
 
