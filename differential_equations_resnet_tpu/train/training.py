@@ -43,6 +43,10 @@ from differential_equations_resnet_tpu.train.train_step import (
 )
 
 
+class _ProducerStopped(Exception):
+    """Internal: the dispatch loop asked the staging producer to exit."""
+
+
 class Training:
     """End-to-end trainer.
 
@@ -269,6 +273,21 @@ class Training:
             # LR values are computed ahead from a local step counter — steps
             # are strictly sequential, so they match dispatch-time values.
             stage_q: queue.Queue = queue.Queue(maxsize=2)
+            # If the dispatch loop dies mid-epoch (checkpoint I/O error, user
+            # interrupt), the producer must not stay blocked on the full
+            # queue holding its position in self._train_iter — a later
+            # train() call would spawn a second producer over the same
+            # iterator.  stop_event + a timeout-put lets it exit promptly.
+            stop_event = threading.Event()
+
+            def _put(item) -> None:
+                while not stop_event.is_set():
+                    try:
+                        stage_q.put(item, timeout=0.2)
+                        return
+                    except queue.Full:
+                        continue
+                raise _ProducerStopped()
 
             def _producer(first_step: int, total: int) -> None:
                 try:
@@ -289,7 +308,7 @@ class Training:
                                         (images, labels)
                                     )
                                     lr = float(learning_rate_schedule(step))
-                                    stage_q.put(("single", images, labels, lr))
+                                    _put(("single", images, labels, lr))
                                     step += 1
                                     remaining -= 1
                                 continue
@@ -308,7 +327,7 @@ class Training:
                                 sh = NamedSharding(self.mesh, P(None, "data"))
                                 images = jax.device_put(images, sh)
                                 labels = jax.device_put(labels, sh)
-                            stage_q.put(("chunk", images, labels, k_lrs))
+                            _put(("chunk", images, labels, k_lrs))
                             step += scan_k
                             remaining -= scan_k
                         else:
@@ -316,61 +335,87 @@ class Training:
                                 next(self._train_iter)
                             )
                             lr = float(learning_rate_schedule(step))
-                            stage_q.put(("single", images, labels, lr))
+                            _put(("single", images, labels, lr))
                             step += 1
                             remaining -= 1
+                except _ProducerStopped:
+                    pass  # consumer asked us to exit; nothing to report
                 except BaseException as e:  # propagate to the dispatch loop
-                    stage_q.put(("error", e))
+                    try:
+                        _put(("error", e))
+                    except _ProducerStopped:
+                        pass
                 else:
-                    stage_q.put(("end",))
+                    try:
+                        _put(("end",))
+                    except _ProducerStopped:
+                        pass
 
             producer = threading.Thread(
                 target=_producer, args=(self.global_step, steps_per_epoch),
-                daemon=True,
+                daemon=True, name="deqres-staging-producer",
             )
             producer.start()
-            while True:
-                item = stage_q.get()
-                kind = item[0]
-                if kind == "error":
-                    raise item[1]
-                if kind == "end":
-                    break
-                if kind == "chunk":
-                    _, images, labels, k_lrs = item
-                    self.state, metrics, grad_norms = multi_step(
-                        self.state, images, labels, jnp.asarray(k_lrs)
-                    )
-                    self._host_step += scan_k
-                    steps_done += scan_k
-                    if self.record_summaries:
-                        if pending_rows:  # keep telemetry rows step-ordered
-                            row_chunks.append(jnp.stack(pending_rows))
-                            pending_rows = []
-                        row_chunks.append(self._pack_rows(metrics, grad_norms))
-                        lrs.extend(float(v) for v in k_lrs)
-                    else:
-                        self.train_metrics.update(
-                            metrics["loss"], metrics["correct"], metrics["count"]
+            try:
+                while True:
+                    item = stage_q.get()
+                    kind = item[0]
+                    if kind == "error":
+                        raise item[1]
+                    if kind == "end":
+                        break
+                    if kind == "chunk":
+                        _, images, labels, k_lrs = item
+                        self.state, metrics, grad_norms = multi_step(
+                            self.state, images, labels, jnp.asarray(k_lrs)
                         )
-                else:  # "single"
-                    _, images, labels, lr = item
-                    self.state, metrics, grad_norms = self._train_step(
-                        self.state, images, labels, lr
-                    )
-                    self._host_step += 1
-                    steps_done += 1
-                    if self.record_summaries:
-                        pending_rows.append(self._pack_row(metrics, grad_norms))
-                        if len(pending_rows) == chunk:
-                            row_chunks.append(jnp.stack(pending_rows))
-                            pending_rows = []
-                        lrs.append(lr)
-                    else:
-                        self.train_metrics.update(
-                            metrics["loss"], metrics["correct"], metrics["count"]
+                        self._host_step += scan_k
+                        steps_done += scan_k
+                        if self.record_summaries:
+                            if pending_rows:  # keep telemetry rows step-ordered
+                                row_chunks.append(jnp.stack(pending_rows))
+                                pending_rows = []
+                            row_chunks.append(
+                                self._pack_rows(metrics, grad_norms)
+                            )
+                            lrs.extend(float(v) for v in k_lrs)
+                        else:
+                            self.train_metrics.update(
+                                metrics["loss"], metrics["correct"],
+                                metrics["count"],
+                            )
+                    else:  # "single"
+                        _, images, labels, lr = item
+                        self.state, metrics, grad_norms = self._train_step(
+                            self.state, images, labels, lr
                         )
-            producer.join()
+                        self._host_step += 1
+                        steps_done += 1
+                        if self.record_summaries:
+                            pending_rows.append(
+                                self._pack_row(metrics, grad_norms)
+                            )
+                            if len(pending_rows) == chunk:
+                                row_chunks.append(jnp.stack(pending_rows))
+                                pending_rows = []
+                            lrs.append(lr)
+                        else:
+                            self.train_metrics.update(
+                                metrics["loss"], metrics["correct"],
+                                metrics["count"],
+                            )
+            finally:
+                # Unblock and retire the producer whether the epoch finished
+                # or the dispatch loop raised: signal stop, drain any staged
+                # items it is blocked on, and wait for it to exit so a later
+                # train() never runs two producers over one iterator.
+                stop_event.set()
+                try:
+                    while True:
+                        stage_q.get_nowait()
+                except queue.Empty:
+                    pass
+                producer.join(timeout=10.0)
 
             if profiling:
                 jax.profiler.stop_trace()

@@ -3,6 +3,7 @@ smoke training on synthetic CIFAR-shaped data, streaming metrics, gradient
 telemetry CSV round-trip through TrainingHistory, checkpoint/resume."""
 
 import os
+import time
 
 import numpy as np
 import jax
@@ -534,3 +535,54 @@ def test_evaluate_train_does_not_consume_training_iterator(tmp_path):
     second = next(trainer._train_iter)[0][:, 0, 0, 0]
     np.testing.assert_array_equal(first, np.arange(0, 32))
     np.testing.assert_array_equal(second, np.arange(32, 64))
+
+
+def test_dispatch_failure_retires_producer(tmp_path):
+    """If the dispatch loop raises mid-epoch, the staging producer must exit
+    (not stay blocked on the queue holding the shared train iterator), and a
+    subsequent train() call must run cleanly with a single producer."""
+    import threading
+
+    trainer = make_trainer(tmp_path)
+
+    real_step = trainer._train_step
+    calls = {"n": 0}
+
+    def failing_step(*args):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("boom")
+        return real_step(*args)
+
+    trainer._train_step = failing_step
+    with pytest.raises(RuntimeError, match="boom"):
+        trainer.train(
+            epochs=1,
+            steps_per_epoch=8,
+            learning_rate_schedule=constant_schedule(1e-3),
+            eval_frequency=None,
+            verbose=False,
+        )
+
+    # The staging producer must have exited (the dataset's prefetch daemon
+    # may legitimately persist — it is identified by name).
+    def producers():
+        return [t for t in threading.enumerate()
+                if t.name == "deqres-staging-producer"]
+
+    deadline = time.time() + 12.0
+    while producers() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not producers()
+
+    trainer._train_step = real_step
+    history = trainer.train(
+        epochs=1,
+        steps_per_epoch=4,
+        learning_rate_schedule=constant_schedule(1e-3),
+        eval_frequency=None,
+        verbose=False,
+    )
+    assert history["train"][-1]["epoch"] == 1
+    assert np.isfinite(history["train"][-1]["mean_loss"])
+    trainer.close()
