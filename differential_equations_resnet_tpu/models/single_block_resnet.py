@@ -72,7 +72,11 @@ class SingleBlockResNetConfig:
     scan_unroll: int = 1        # unroll factor for the depth scan
     s2d_block: int = 0          # b>1: run identity stages space-to-depth
                                 # packed (HxWxC -> H/b x W/b x b²C) for MXU
-                                # lane utilization at small C (ops/s2d.py)
+                                # lane utilization at small C (ops/s2d.py).
+                                # Auto-gated on batch: packing only wins
+                                # while the conv is overhead-bound
+                                # (_s2d_eligible's measured row threshold).
+    s2d_force: bool = False     # skip the batch gate (benchmarking/tests)
     pp_mesh: Any = None         # Mesh: pipeline the identity-block stack over
     pp_axis: str = "pipe"       # pp_axis (GPipe shard_map + ppermute over the
     pp_microbatches: int = 0    # layer axis, parallel/pipeline.py); 0 micro-
@@ -378,12 +382,23 @@ def _apply_identity_blocks(x, sp, ss, config, train):
 
 
 def _s2d_eligible(config, x) -> bool:
+    """Space-to-depth packing wins only while the per-layer conv is
+    overhead/HBM-bound: it trades 4x nominal FLOPs (3/4 structural zeros in
+    the packed kernel) for ~1.6x less padded-MXU work at small C.  Measured
+    crossover on v5e (64L x 16F): batch 32 (32768 input rows) 354 packed vs
+    262 direct steps/s, batch 64 149 vs 211, batch 128 177 vs 211 — once
+    N*H*W fills the MXU the extra FLOPs dominate, so packing is gated on the
+    row count (s2d_force overrides for benchmarking)."""
     b = config.s2d_block
     return (
         b > 1
         and config.kernel_size == 3
         and x.shape[1] % b == 0
         and x.shape[2] % b == 0
+        and (
+            getattr(config, "s2d_force", False)
+            or x.shape[0] * x.shape[1] * x.shape[2] <= 32768
+        )
     )
 
 

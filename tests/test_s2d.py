@@ -163,3 +163,25 @@ def test_s2d_skipped_when_ineligible():
     params, state = model.init(jax.random.key(0))
     out, _ = model.apply(params, state, jnp.zeros((1, 7, 7, 3)))
     assert out.shape == (1, 5)
+
+
+def test_s2d_batch_gate():
+    """Packing is auto-gated on input rows (measured crossover: wins at
+    b=32/CIFAR, loses at b>=64); s2d_force overrides."""
+    import jax.numpy as jnp
+
+    from differential_equations_resnet_tpu.models import (
+        cifar10_single_block_config,
+    )
+    from differential_equations_resnet_tpu.models.single_block_resnet import (
+        _s2d_eligible,
+    )
+
+    cfg = cifar10_single_block_config(num_layers=4, num_filters=16)
+    assert cfg.s2d_block == 2
+    assert _s2d_eligible(cfg, jnp.zeros((32, 32, 32, 16)))
+    assert not _s2d_eligible(cfg, jnp.zeros((64, 32, 32, 16)))
+    forced = cifar10_single_block_config(
+        num_layers=4, num_filters=16, s2d_force=True
+    )
+    assert _s2d_eligible(forced, jnp.zeros((64, 32, 32, 16)))
