@@ -77,6 +77,10 @@ class SingleBlockResNetConfig:
                                 # while the conv is overhead-bound
                                 # (_s2d_eligible's measured row threshold).
     s2d_force: bool = False     # skip the batch gate (benchmarking/tests)
+    dp_shards: int = 1          # data-parallel shards the global batch is
+                                # divided over; the s2d batch gate uses
+                                # per-DEVICE rows (under jit shardings the
+                                # traced x carries the GLOBAL shape)
     pp_mesh: Any = None         # Mesh: pipeline the identity-block stack over
     pp_axis: str = "pipe"       # pp_axis (GPipe shard_map + ppermute over the
     pp_microbatches: int = 0    # layer axis, parallel/pipeline.py); 0 micro-
@@ -388,17 +392,18 @@ def _s2d_eligible(config, x) -> bool:
     crossover on v5e (64L x 16F): batch 32 (32768 input rows) 354 packed vs
     262 direct steps/s, batch 64 149 vs 211, batch 128 177 vs 211 — once
     N*H*W fills the MXU the extra FLOPs dominate, so packing is gated on the
-    row count (s2d_force overrides for benchmarking)."""
+    row count (s2d_force overrides for benchmarking).  Under data
+    parallelism the traced x carries the GLOBAL batch, but the crossover is
+    a per-device property — config.dp_shards rescales the gate."""
     b = config.s2d_block
+    rows = x.shape[0] * x.shape[1] * x.shape[2]
+    rows //= max(int(getattr(config, "dp_shards", 1)), 1)
     return (
         b > 1
         and config.kernel_size == 3
         and x.shape[1] % b == 0
         and x.shape[2] % b == 0
-        and (
-            getattr(config, "s2d_force", False)
-            or x.shape[0] * x.shape[1] * x.shape[2] <= 32768
-        )
+        and (getattr(config, "s2d_force", False) or rows <= 32768)
     )
 
 

@@ -404,11 +404,26 @@ class Training:
                                 metrics["loss"], metrics["correct"],
                                 metrics["count"],
                             )
+            except BaseException:
+                # Dispatch loop died mid-epoch (checkpoint I/O error, user
+                # interrupt).  The producer may have run ahead — staged
+                # chunks in the queue plus the one being assembled hold
+                # already-consumed batches — and may even be stuck inside
+                # next(self._train_iter).  Recovery rule: the train iterator
+                # is REBUILT from the dataset, so (a) a zombie producer can
+                # never race a later train() call on the same iterator, and
+                # (b) the data position is well-defined (a fresh stream)
+                # rather than silently skewed by the drained look-ahead.
+                if self.train_dataset is not None:
+                    self._train_iter = iter(self.train_dataset)
+                raise
             finally:
                 # Unblock and retire the producer whether the epoch finished
                 # or the dispatch loop raised: signal stop, drain any staged
                 # items it is blocked on, and wait for it to exit so a later
-                # train() never runs two producers over one iterator.
+                # train() never runs two producers over one iterator (a
+                # producer stuck in next() past the join timeout is covered
+                # by the iterator rebuild above — it holds the old stream).
                 stop_event.set()
                 try:
                     while True:

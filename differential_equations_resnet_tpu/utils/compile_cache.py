@@ -10,7 +10,9 @@ cold-compiles in 34-505 s).  The reference rebuilds its graph from scratch on
 every notebook run (~20 s+, SURVEY.md §6); with this cache a repeat CLI run
 skips compilation entirely.
 
-Enabled by default from the CLI, bench.py, and the test suite.  Opt out with
+Enabled by default from the CLI, bench.py, and the driver entry — NOT the
+test suite, which runs on XLA:CPU where the cache is rejected (AOT reload
+unreliability — see tests/conftest.py).  Opt out with
 ``DEQRES_COMPILE_CACHE=0``; override the location with
 ``DEQRES_COMPILE_CACHE_DIR`` (default ``~/.cache/deqres/xla``).
 """
@@ -35,11 +37,15 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     import jax
 
     # Never cache on XLA:CPU: AOT executable reload can hit machine-feature
-    # mismatches with a SIGILL caveat (see tests/conftest.py).  Checked via
-    # the configured platform list, not default_backend(), to avoid forcing
-    # backend initialization here.
-    platforms = (jax.config.jax_platforms or "").split(",")[0]
-    if platforms == "cpu":
+    # mismatches with a SIGILL caveat (see tests/conftest.py).  The config
+    # string alone is not enough — on a CPU-only machine jax_platforms is
+    # typically unset (None) and the default backend still resolves to cpu —
+    # so resolve the actual backend.  This initializes the backend, which is
+    # fine at the enabling sites (CLI/bench are about to use it anyway), and
+    # cache-dir config updates still apply to all subsequent compiles.
+    if (jax.config.jax_platforms or "").split(",")[0] == "cpu":
+        return None
+    if jax.default_backend() == "cpu":
         return None
     if cache_dir is None:
         cache_dir = os.environ.get(

@@ -34,6 +34,39 @@ from differential_equations_resnet_tpu.ops.antisymmetric import (
 )
 
 
+def convert_antisym_layout(params, to: str):
+    """Convert every antisymmetric-conv parameter leaf in a pytree between
+    the packed ``(…, 3, 3, P)`` and dense-lower ``(…, 3, 3, C, C)`` layouts
+    (``to`` = 'dense' | 'packed'); all other leaves pass through.
+
+    Migration shim for checkpoints/pickles saved before the bottleneck
+    family switched its mid-convs to the dense layout: `Checkpointer.restore`
+    raises a clear treedef mismatch on a layout change (it never silently
+    mis-assigns leaves); run the loaded pytree through this converter to
+    restore across the change.  Conversions are bit-exact
+    (`dense_from_packed` / `packed_from_dense`)."""
+    from differential_equations_resnet_tpu.ops.antisymmetric import (
+        Antisym3x3DenseParams,
+        dense_from_packed,
+        packed_from_dense,
+    )
+
+    if to not in ("dense", "packed"):
+        raise ValueError(f"`to` must be 'dense' or 'packed', got {to!r}.")
+
+    def convert(node):
+        if isinstance(node, Antisym3x3Params) and to == "dense":
+            return dense_from_packed(node)
+        if isinstance(node, Antisym3x3DenseParams) and to == "packed":
+            return packed_from_dense(node)
+        return node
+
+    both = (Antisym3x3Params, Antisym3x3DenseParams)
+    return jax.tree.map(
+        convert, params, is_leaf=lambda n: isinstance(n, both)
+    )
+
+
 def pickle_model_weights(params, save_filename: str) -> None:
     """Pickle a params pytree (NumPy-ified).  Generic replacement for the
     reference `pickle_model_weights` (model_utils/weight_utils.py:23-39)."""

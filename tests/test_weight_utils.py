@@ -91,3 +91,42 @@ def test_reference_format_roundtrip():
     y1, _ = model.apply(params, state, x, return_logits=True)
     y2, _ = model.apply(params2, state, x, return_logits=True)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_convert_antisym_layout_roundtrip():
+    """Packed<->dense layout migration is bit-exact over a full bottleneck
+    params pytree (checkpoints saved before the dense switch restore via
+    convert_antisym_layout)."""
+    from differential_equations_resnet_tpu.models import build_resnet, resnet_preset
+    from differential_equations_resnet_tpu.ops import (
+        Antisym3x3DenseParams,
+        Antisym3x3Params,
+    )
+    from differential_equations_resnet_tpu.utils.weight_utils import (
+        convert_antisym_layout,
+    )
+
+    from differential_equations_resnet_tpu.models.bottleneck_resnet import (
+        BottleneckResNetConfig,
+    )
+
+    base = resnet_preset(
+        "resnet50", num_classes=10, image_shape=(32, 32, 3),
+        antisymmetric_mid=True,
+    )
+    cfg = BottleneckResNetConfig(
+        **{**base.__dict__, "blocks_per_stage": (2, 1, 1, 1)}
+    )
+    model = build_resnet(cfg)
+    params, _ = model.init(jax.random.key(0))
+
+    packed = convert_antisym_layout(params, to="packed")
+    leaves = [n for n in jax.tree.leaves(
+        packed, is_leaf=lambda n: isinstance(n, Antisym3x3Params))
+        if isinstance(n, Antisym3x3Params)]
+    assert leaves, "expected packed antisym leaves after conversion"
+
+    dense = convert_antisym_layout(packed, to="dense")
+    assert jax.tree.structure(dense) == jax.tree.structure(params)
+    for a, b in zip(jax.tree.leaves(dense), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
