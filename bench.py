@@ -9,8 +9,10 @@ GPU, TF 1.12).  `vs_baseline` = measured steps/s / 1.46.
 Methodology (remote/tunneled TPU backends dispatch asynchronously and
 `block_until_ready` can acknowledge before device-side completion, so naive
 timing overstates throughput):
-  - K steps run inside ONE compiled `lax.scan` (`make_multi_step`) over
-    device-resident batches — no host dispatch gaps between steps;
+  - the dataset is DEVICE-RESIDENT (uint8) and each timed dispatch is one
+    `make_device_epoch` program covering the per-epoch shuffle, every batch
+    gather, all K train steps, and stacked telemetry — true end-to-end
+    per-step cost with zero host work between dispatch and fetch;
   - the timed region ends by FETCHING the final step's loss, which
     transitively depends on every step, proving all K*M steps executed.
 
@@ -48,17 +50,23 @@ def main() -> None:
     from differential_equations_resnet_tpu.train import (
         create_train_state,
         make_adam,
-        make_multi_step,
+    )
+    from differential_equations_resnet_tpu.train.train_step import (
+        make_device_epoch,
     )
 
     batch_size = 32
-    scan_k = 100          # steps per dispatch
-    measure_chunks = 5    # timed dispatches -> 500 measured steps
+    scan_k = 500          # steps per timed dispatch (device-resident epoch)
+    measure_chunks = 2    # timed dispatches -> 1000 measured steps
 
     model = build_single_block_resnet(cifar10_single_block_config())
     tx = make_adam()
     state = create_train_state(model, jax.random.key(0), tx)
-    multi_step = make_multi_step(model, tx, donate=True)
+    # Device-resident epoch trainer: the dataset lives on device (uint8) and
+    # each dispatch covers the per-epoch shuffle, every batch gather, all
+    # scan_k train steps, and the stacked telemetry — true end-to-end
+    # per-step cost with zero host involvement (make_device_epoch docstring).
+    epoch_step = make_device_epoch(model, tx, batch_size, donate=True)
 
     cifar_dir = find_cifar10_directory()
     if cifar_dir:
@@ -66,22 +74,17 @@ def main() -> None:
     else:
         images, labels, *_ = synthetic_cifar10(scan_k * batch_size, 8, seed=0)
 
-    # Pre-stage (K, B, ...) device-resident batches; the measurement is the
-    # training computation itself, not host staging.
-    n = scan_k * batch_size
-    xs = jax.device_put(
-        jnp.asarray(images[:n], jnp.float32).reshape(scan_k, batch_size, 32, 32, 3)
-    )
-    ys = jax.device_put(jnp.asarray(labels[:n]).reshape(scan_k, batch_size))
+    xs = jax.device_put(np.ascontiguousarray(images[: scan_k * batch_size]))
+    ys = jax.device_put(np.ascontiguousarray(labels[: scan_k * batch_size]))
     lrs = jax.device_put(jnp.full((scan_k,), 1e-3, jnp.float32))
 
-    # Warmup: compile + one full chunk, synced by a value fetch.
-    state, metrics, _ = multi_step(state, xs, ys, lrs)
+    # Warmup: compile + one full epoch, synced by a value fetch.
+    state, metrics, _ = epoch_step(state, xs, ys, jax.random.key(0), lrs)
     _ = float(metrics["loss"][-1])
 
     start = time.perf_counter()
-    for _ in range(measure_chunks):
-        state, metrics, _ = multi_step(state, xs, ys, lrs)
+    for i in range(measure_chunks):
+        state, metrics, _ = epoch_step(state, xs, ys, jax.random.key(i + 1), lrs)
     final_loss = float(metrics["loss"][-1])  # true device-completion sync
     elapsed = time.perf_counter() - start
 

@@ -161,6 +161,10 @@ def cmd_train(args) -> int:
     eval_steps = args.eval_steps or (
         (len(test_x) + args.batch_size - 1) // args.batch_size
     )
+    if args.device_data:
+        # Whole-epoch device residency draws batches without replacement;
+        # clamp the epoch to the dataset size.
+        steps_per_epoch = min(steps_per_epoch, len(train_x) // args.batch_size)
     trainer.train(
         epochs=args.epochs,
         steps_per_epoch=steps_per_epoch,
@@ -171,6 +175,7 @@ def cmd_train(args) -> int:
         monitor=args.monitor,
         summaries_frequency=args.summaries_frequency,
         scan_steps=args.scan_steps,
+        device_data=args.device_data,
         save_frequency=args.save_frequency,
     )
     print(json.dumps({"best": trainer.best_metrics}))
@@ -604,6 +609,10 @@ def main(argv=None) -> int:
     p.add_argument("--summaries-frequency", type=int, default=10)
     p.add_argument("--scan-steps", type=int, default=0,
                    help="K>1: run K train steps per dispatch via lax.scan")
+    p.add_argument("--device-data", action="store_true",
+                   help="device-resident mode: upload the dataset once and "
+                        "run each epoch (shuffle + gather + all steps + "
+                        "telemetry) as ONE XLA dispatch")
     p.add_argument("--save-frequency", type=int, default=1,
                    help="checkpoint every N epochs (when --save-dir is set)")
     p.add_argument("--resume", action="store_true",

@@ -77,6 +77,7 @@ class Training:
         mesh=None,
         seed: int = 0,
         data_seed: Optional[int] = 0,
+        jit_augment=None,
     ):
         self.model = model
         self.mesh = mesh
@@ -145,6 +146,18 @@ class Training:
         )
         self._multi_steps: dict = {}  # scan_steps K -> compiled K-step trainer
         self._multi_evals: dict = {}  # K -> compiled K-batch eval
+        # Device-resident mode (train(device_data=True)): the raw train
+        # arrays, their one-time device upload, compiled whole-epoch
+        # trainers keyed by steps_per_epoch, the in-jit augmentation, and
+        # the RNG stream driving shuffle + augmentation.
+        self._train_arrays = (
+            (train_features, train_labels)
+            if train_features is not None else None
+        )
+        self._device_train = None
+        self._device_epochs: dict = {}
+        self._jit_augment = jit_augment
+        self._data_key = jax.random.key(data_seed if data_seed is not None else 0)
 
         # -- metrics / logging -------------------------------------------------
         self.train_metrics = StreamingMetrics()
@@ -213,6 +226,7 @@ class Training:
         monitor: str = "loss",
         summaries_frequency: int = 10,
         scan_steps: int = 0,
+        device_data: bool = False,
         profile_dir: Optional[str] = None,
         profile_epoch: int = 1,
         verbose: bool = True,
@@ -252,6 +266,42 @@ class Training:
                 )
             multi_step = self._multi_steps[scan_k]
 
+        if device_data:
+            # Whole-epoch device residency (make_device_epoch docstring):
+            # the dataset is uploaded once, and each epoch is ONE dispatch
+            # covering shuffle, gather, optional in-jit augmentation, every
+            # step, and the stacked telemetry.
+            if self._train_arrays is None:
+                raise ValueError(
+                    "device_data=True requires in-memory train arrays "
+                    "(Training(train_features=..., train_labels=...))."
+                )
+            feats, labs = self._train_arrays
+            if steps_per_epoch * self.batch_size > len(feats):
+                raise ValueError(
+                    f"device_data=True draws batches without replacement: "
+                    f"steps_per_epoch*batch_size "
+                    f"({steps_per_epoch}*{self.batch_size}) exceeds the "
+                    f"{len(feats)} training examples."
+                )
+            if self._device_train is None:
+                self._device_train = (
+                    jax.device_put(feats), jax.device_put(np.asarray(labs))
+                )
+            if steps_per_epoch not in self._device_epochs:
+                from differential_equations_resnet_tpu.train.train_step import (
+                    make_device_epoch,
+                )
+
+                self._device_epochs[steps_per_epoch] = make_device_epoch(
+                    self.model, self.tx, self.batch_size, mesh=self.mesh,
+                    with_gradient_metrics=(
+                        "mean_gradient_norms" in self.summaries
+                    ),
+                    augment=self._jit_augment,
+                )
+            device_epoch = self._device_epochs[steps_per_epoch]
+
         for epoch in range(1, epochs + 1):
             profiling = profile_dir is not None and epoch == profile_epoch
             if profiling:
@@ -264,173 +314,196 @@ class Training:
             lrs = []
             epoch_first_step = self.global_step + 1
             steps_done = 0
-            # Batch assembly + host->device transfer run on a daemon producer
-            # thread, double-buffered through a bounded queue, so the dispatch
-            # loop never waits on host staging.  At headline throughput the
-            # host work (K-batch gather + stack + tunnel transfer) is
-            # comparable to the device's whole K-step compute; serializing
-            # them costs ~1/3 of end-to-end throughput (docs/RESULTS.md §1).
-            # LR values are computed ahead from a local step counter — steps
-            # are strictly sequential, so they match dispatch-time values.
-            stage_q: queue.Queue = queue.Queue(maxsize=2)
-            # If the dispatch loop dies mid-epoch (checkpoint I/O error, user
-            # interrupt), the producer must not stay blocked on the full
-            # queue holding its position in self._train_iter — a later
-            # train() call would spawn a second producer over the same
-            # iterator.  stop_event + a timeout-put lets it exit promptly.
-            stop_event = threading.Event()
-
-            def _put(item) -> None:
-                while not stop_event.is_set():
-                    try:
-                        stage_q.put(item, timeout=0.2)
-                        return
-                    except queue.Full:
-                        continue
-                raise _ProducerStopped()
-
-            def _producer(first_step: int, total: int) -> None:
-                try:
-                    step, remaining = first_step, total
-                    while remaining > 0:
-                        if scan_k and remaining >= scan_k:
-                            # K steps in one dispatch (make_multi_step).
-                            batches = [
-                                next(self._train_iter) for _ in range(scan_k)
-                            ]
-                            if len({b[0].shape for b in batches}) != 1:
-                                # Ragged chunk (e.g. a short epoch-boundary
-                                # batch from a dataset without drop_remainder):
-                                # stage each batch for the single-step path
-                                # instead of np.stack-crashing.
-                                for images, labels in batches:
-                                    images, labels = self._device_batch(
-                                        (images, labels)
-                                    )
-                                    lr = float(learning_rate_schedule(step))
-                                    _put(("single", images, labels, lr))
-                                    step += 1
-                                    remaining -= 1
-                                continue
-                            k_lrs = np.asarray(
-                                [float(learning_rate_schedule(step + i))
-                                 for i in range(scan_k)],
-                                np.float32,
-                            )
-                            images = np.stack([b[0] for b in batches])
-                            labels = np.stack([b[1] for b in batches])
-                            if self.mesh is not None:
-                                from jax.sharding import (
-                                    NamedSharding, PartitionSpec as P,
-                                )
-
-                                sh = NamedSharding(self.mesh, P(None, "data"))
-                                images = jax.device_put(images, sh)
-                                labels = jax.device_put(labels, sh)
-                            _put(("chunk", images, labels, k_lrs))
-                            step += scan_k
-                            remaining -= scan_k
-                        else:
-                            images, labels = self._device_batch(
-                                next(self._train_iter)
-                            )
-                            lr = float(learning_rate_schedule(step))
-                            _put(("single", images, labels, lr))
-                            step += 1
-                            remaining -= 1
-                except _ProducerStopped:
-                    pass  # consumer asked us to exit; nothing to report
-                except BaseException as e:  # propagate to the dispatch loop
-                    try:
-                        _put(("error", e))
-                    except _ProducerStopped:
-                        pass
+            if device_data:
+                # One dispatch per epoch; shuffle/augment keys fold the
+                # global step into the data seed for reproducible streams.
+                lrs_np = np.asarray(
+                    [float(learning_rate_schedule(self.global_step + i))
+                     for i in range(steps_per_epoch)],
+                    np.float32,
+                )
+                key = jax.random.fold_in(self._data_key, self.global_step)
+                self.state, metrics, grad_norms = device_epoch(
+                    self.state, self._device_train[0], self._device_train[1],
+                    key, jnp.asarray(lrs_np),
+                )
+                self._host_step += steps_per_epoch
+                steps_done = steps_per_epoch
+                if self.record_summaries:
+                    row_chunks.append(self._pack_rows(metrics, grad_norms))
+                    lrs.extend(float(v) for v in lrs_np)
                 else:
-                    try:
-                        _put(("end",))
-                    except _ProducerStopped:
-                        pass
+                    self.train_metrics.update(
+                        metrics["loss"], metrics["correct"], metrics["count"]
+                    )
+            else:
+                # Batch assembly + host->device transfer run on a daemon producer
+                # thread, double-buffered through a bounded queue, so the dispatch
+                # loop never waits on host staging.  At headline throughput the
+                # host work (K-batch gather + stack + tunnel transfer) is
+                # comparable to the device's whole K-step compute; serializing
+                # them costs ~1/3 of end-to-end throughput (docs/RESULTS.md §1).
+                # LR values are computed ahead from a local step counter — steps
+                # are strictly sequential, so they match dispatch-time values.
+                stage_q: queue.Queue = queue.Queue(maxsize=2)
+                # If the dispatch loop dies mid-epoch (checkpoint I/O error, user
+                # interrupt), the producer must not stay blocked on the full
+                # queue holding its position in self._train_iter — a later
+                # train() call would spawn a second producer over the same
+                # iterator.  stop_event + a timeout-put lets it exit promptly.
+                stop_event = threading.Event()
 
-            producer = threading.Thread(
-                target=_producer, args=(self.global_step, steps_per_epoch),
-                daemon=True, name="deqres-staging-producer",
-            )
-            producer.start()
-            try:
-                while True:
-                    item = stage_q.get()
-                    kind = item[0]
-                    if kind == "error":
-                        raise item[1]
-                    if kind == "end":
-                        break
-                    if kind == "chunk":
-                        _, images, labels, k_lrs = item
-                        self.state, metrics, grad_norms = multi_step(
-                            self.state, images, labels, jnp.asarray(k_lrs)
-                        )
-                        self._host_step += scan_k
-                        steps_done += scan_k
-                        if self.record_summaries:
-                            if pending_rows:  # keep telemetry rows step-ordered
-                                row_chunks.append(jnp.stack(pending_rows))
-                                pending_rows = []
-                            row_chunks.append(
-                                self._pack_rows(metrics, grad_norms)
-                            )
-                            lrs.extend(float(v) for v in k_lrs)
-                        else:
-                            self.train_metrics.update(
-                                metrics["loss"], metrics["correct"],
-                                metrics["count"],
-                            )
-                    else:  # "single"
-                        _, images, labels, lr = item
-                        self.state, metrics, grad_norms = self._train_step(
-                            self.state, images, labels, lr
-                        )
-                        self._host_step += 1
-                        steps_done += 1
-                        if self.record_summaries:
-                            pending_rows.append(
-                                self._pack_row(metrics, grad_norms)
-                            )
-                            if len(pending_rows) == chunk:
-                                row_chunks.append(jnp.stack(pending_rows))
-                                pending_rows = []
-                            lrs.append(lr)
-                        else:
-                            self.train_metrics.update(
-                                metrics["loss"], metrics["correct"],
-                                metrics["count"],
-                            )
-            except BaseException:
-                # Dispatch loop died mid-epoch (checkpoint I/O error, user
-                # interrupt).  The producer may have run ahead — staged
-                # chunks in the queue plus the one being assembled hold
-                # already-consumed batches — and may even be stuck inside
-                # next(self._train_iter).  Recovery rule: the train iterator
-                # is REBUILT from the dataset, so (a) a zombie producer can
-                # never race a later train() call on the same iterator, and
-                # (b) the data position is well-defined (a fresh stream)
-                # rather than silently skewed by the drained look-ahead.
-                if self.train_dataset is not None:
-                    self._train_iter = iter(self.train_dataset)
-                raise
-            finally:
-                # Unblock and retire the producer whether the epoch finished
-                # or the dispatch loop raised: signal stop, drain any staged
-                # items it is blocked on, and wait for it to exit so a later
-                # train() never runs two producers over one iterator (a
-                # producer stuck in next() past the join timeout is covered
-                # by the iterator rebuild above — it holds the old stream).
-                stop_event.set()
+                def _put(item) -> None:
+                    while not stop_event.is_set():
+                        try:
+                            stage_q.put(item, timeout=0.2)
+                            return
+                        except queue.Full:
+                            continue
+                    raise _ProducerStopped()
+
+                def _producer(first_step: int, total: int) -> None:
+                    try:
+                        step, remaining = first_step, total
+                        while remaining > 0:
+                            if scan_k and remaining >= scan_k:
+                                # K steps in one dispatch (make_multi_step).
+                                batches = [
+                                    next(self._train_iter) for _ in range(scan_k)
+                                ]
+                                if len({b[0].shape for b in batches}) != 1:
+                                    # Ragged chunk (e.g. a short epoch-boundary
+                                    # batch from a dataset without drop_remainder):
+                                    # stage each batch for the single-step path
+                                    # instead of np.stack-crashing.
+                                    for images, labels in batches:
+                                        images, labels = self._device_batch(
+                                            (images, labels)
+                                        )
+                                        lr = float(learning_rate_schedule(step))
+                                        _put(("single", images, labels, lr))
+                                        step += 1
+                                        remaining -= 1
+                                    continue
+                                k_lrs = np.asarray(
+                                    [float(learning_rate_schedule(step + i))
+                                     for i in range(scan_k)],
+                                    np.float32,
+                                )
+                                images = np.stack([b[0] for b in batches])
+                                labels = np.stack([b[1] for b in batches])
+                                if self.mesh is not None:
+                                    from jax.sharding import (
+                                        NamedSharding, PartitionSpec as P,
+                                    )
+
+                                    sh = NamedSharding(self.mesh, P(None, "data"))
+                                    images = jax.device_put(images, sh)
+                                    labels = jax.device_put(labels, sh)
+                                _put(("chunk", images, labels, k_lrs))
+                                step += scan_k
+                                remaining -= scan_k
+                            else:
+                                images, labels = self._device_batch(
+                                    next(self._train_iter)
+                                )
+                                lr = float(learning_rate_schedule(step))
+                                _put(("single", images, labels, lr))
+                                step += 1
+                                remaining -= 1
+                    except _ProducerStopped:
+                        pass  # consumer asked us to exit; nothing to report
+                    except BaseException as e:  # propagate to the dispatch loop
+                        try:
+                            _put(("error", e))
+                        except _ProducerStopped:
+                            pass
+                    else:
+                        try:
+                            _put(("end",))
+                        except _ProducerStopped:
+                            pass
+
+                producer = threading.Thread(
+                    target=_producer, args=(self.global_step, steps_per_epoch),
+                    daemon=True, name="deqres-staging-producer",
+                )
+                producer.start()
                 try:
                     while True:
-                        stage_q.get_nowait()
-                except queue.Empty:
-                    pass
-                producer.join(timeout=10.0)
+                        item = stage_q.get()
+                        kind = item[0]
+                        if kind == "error":
+                            raise item[1]
+                        if kind == "end":
+                            break
+                        if kind == "chunk":
+                            _, images, labels, k_lrs = item
+                            self.state, metrics, grad_norms = multi_step(
+                                self.state, images, labels, jnp.asarray(k_lrs)
+                            )
+                            self._host_step += scan_k
+                            steps_done += scan_k
+                            if self.record_summaries:
+                                if pending_rows:  # keep telemetry rows step-ordered
+                                    row_chunks.append(jnp.stack(pending_rows))
+                                    pending_rows = []
+                                row_chunks.append(
+                                    self._pack_rows(metrics, grad_norms)
+                                )
+                                lrs.extend(float(v) for v in k_lrs)
+                            else:
+                                self.train_metrics.update(
+                                    metrics["loss"], metrics["correct"],
+                                    metrics["count"],
+                                )
+                        else:  # "single"
+                            _, images, labels, lr = item
+                            self.state, metrics, grad_norms = self._train_step(
+                                self.state, images, labels, lr
+                            )
+                            self._host_step += 1
+                            steps_done += 1
+                            if self.record_summaries:
+                                pending_rows.append(
+                                    self._pack_row(metrics, grad_norms)
+                                )
+                                if len(pending_rows) == chunk:
+                                    row_chunks.append(jnp.stack(pending_rows))
+                                    pending_rows = []
+                                lrs.append(lr)
+                            else:
+                                self.train_metrics.update(
+                                    metrics["loss"], metrics["correct"],
+                                    metrics["count"],
+                                )
+                except BaseException:
+                    # Dispatch loop died mid-epoch (checkpoint I/O error, user
+                    # interrupt).  The producer may have run ahead — staged
+                    # chunks in the queue plus the one being assembled hold
+                    # already-consumed batches — and may even be stuck inside
+                    # next(self._train_iter).  Recovery rule: the train iterator
+                    # is REBUILT from the dataset, so (a) a zombie producer can
+                    # never race a later train() call on the same iterator, and
+                    # (b) the data position is well-defined (a fresh stream)
+                    # rather than silently skewed by the drained look-ahead.
+                    if self.train_dataset is not None:
+                        self._train_iter = iter(self.train_dataset)
+                    raise
+                finally:
+                    # Unblock and retire the producer whether the epoch finished
+                    # or the dispatch loop raised: signal stop, drain any staged
+                    # items it is blocked on, and wait for it to exit so a later
+                    # train() never runs two producers over one iterator (a
+                    # producer stuck in next() past the join timeout is covered
+                    # by the iterator rebuild above — it holds the old stream).
+                    stop_event.set()
+                    try:
+                        while True:
+                            stage_q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    producer.join(timeout=10.0)
 
             if profiling:
                 jax.profiler.stop_trace()
