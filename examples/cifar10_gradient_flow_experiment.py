@@ -53,6 +53,9 @@ def run_variant(kernel_type, args, data, out_dir):
         csv_logger_name=name,
     )
     steps_per_epoch = (len(train_x) + args.batch_size - 1) // args.batch_size
+    if args.device_data:
+        # Device-resident epochs draw batches without replacement.
+        steps_per_epoch = len(train_x) // args.batch_size
     eval_steps = (len(test_x) + args.batch_size - 1) // args.batch_size
     trainer.train(
         epochs=args.epochs,
@@ -61,6 +64,7 @@ def run_variant(kernel_type, args, data, out_dir):
         eval_steps=eval_steps,
         summaries_frequency=10,
         scan_steps=args.scan_steps,
+        device_data=args.device_data,
     )
     trainer.close()
     train_csv = sorted(glob.glob(os.path.join(out_dir, f"{name}_*_training.csv")))[-1]
@@ -90,6 +94,10 @@ def main():
     parser.add_argument("--num-filters", type=int, default=16)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--out-dir", default="./local/gradient_flow")
+    parser.add_argument("--device-data", action="store_true",
+                        help="device-resident epochs: one XLA dispatch per "
+                             "epoch (the fastest mode; steps_per_epoch is "
+                             "floor(N/batch) instead of ceil)")
     parser.add_argument("--scan-steps", type=int, default=0,
                         help="K>1: K train steps per dispatch (remote-TPU fast path)")
     args = parser.parse_args()
