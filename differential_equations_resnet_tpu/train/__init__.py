@@ -20,6 +20,8 @@ from differential_equations_resnet_tpu.train.train_step import (  # noqa: F401
     create_train_state,
     make_adam,
     make_eval_step,
+    make_device_epoch,
+    make_device_eval,
     make_multi_eval_step,
     make_multi_step,
     make_predict_step,

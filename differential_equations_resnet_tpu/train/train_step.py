@@ -51,17 +51,20 @@ def create_train_state(model, key: jax.Array, tx: Optional[Any] = None) -> Train
     )
 
 
-def cross_entropy_from_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean categorical cross-entropy.  Accepts integer labels (N,) or
+def per_example_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """(N,) categorical cross-entropy.  Accepts integer labels (N,) or
     one-hot/soft labels (N, num_classes)."""
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     if labels.ndim == logits.ndim:
-        per_example = -jnp.sum(labels.astype(jnp.float32) * log_probs, axis=-1)
-    else:
-        per_example = -jnp.take_along_axis(
-            log_probs, labels[:, None].astype(jnp.int32), axis=-1
-        )[:, 0]
-    return jnp.mean(per_example)
+        return -jnp.sum(labels.astype(jnp.float32) * log_probs, axis=-1)
+    return -jnp.take_along_axis(
+        log_probs, labels[:, None].astype(jnp.int32), axis=-1
+    )[:, 0]
+
+
+def cross_entropy_from_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean categorical cross-entropy over the batch."""
+    return jnp.mean(per_example_cross_entropy(logits, labels))
 
 
 def _labels_argmax(labels: jax.Array) -> jax.Array:
@@ -354,6 +357,61 @@ def make_multi_eval_step(model, mesh: Optional[Mesh] = None, unroll: int = 1):
     return jax.jit(
         multi_fn,
         in_shardings=(replicated, replicated, data, data),
+        out_shardings=replicated,
+    )
+
+
+def make_device_eval(model, batch_size: int, mesh: Optional[Mesh] = None):
+    """Full-pass evaluation over a DEVICE-RESIDENT dataset in one dispatch:
+
+        (params, model_state, features (N,H,W,C), labels (N,))
+            -> metrics {"loss": (steps,), "correct": (steps,), "count": (steps,)}
+
+    steps = ceil(N / batch_size); the final ragged batch is zero-padded and
+    masked, its loss averaged over its VALID examples only — identical
+    semantics to feeding per-batch eval results into `StreamingMetrics`
+    (mean of batch losses / total correct / total count).  The evaluation
+    analogue of `make_device_epoch`: a 10k-image pass is one dispatch and
+    one fetch.  Loss is plain CE, never the L2 penalty (_make_eval_fn note).
+    """
+
+    def eval_all(params, model_state, features, labels):
+        n = features.shape[0]
+        steps = -(-n // batch_size)
+        pad = steps * batch_size - n
+        feats = jnp.pad(
+            features, ((0, pad),) + ((0, 0),) * (features.ndim - 1)
+        )
+        labs = jnp.pad(labels, ((0, pad),) + ((0, 0),) * (labels.ndim - 1))
+
+        def body(_, i):
+            start = i * batch_size
+            x = jax.lax.dynamic_slice_in_dim(feats, start, batch_size)
+            y = jax.lax.dynamic_slice_in_dim(labs, start, batch_size)
+            logits, _ = model.apply(
+                params, model_state, x.astype(jnp.float32),
+                train=False, return_logits=True,
+            )
+            valid = ((start + jnp.arange(batch_size)) < n).astype(jnp.float32)
+            vcount = jnp.sum(valid)
+            loss = jnp.sum(
+                per_example_cross_entropy(logits, y) * valid
+            ) / jnp.maximum(vcount, 1.0)
+            predictions = jnp.argmax(logits, axis=-1)
+            correct = jnp.sum(
+                (predictions == _labels_argmax(y)).astype(jnp.float32) * valid
+            )
+            return None, {"loss": loss, "correct": correct, "count": vcount}
+
+        _, metrics = jax.lax.scan(body, None, jnp.arange(steps))
+        return metrics
+
+    if mesh is None:
+        return jax.jit(eval_all)
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        eval_all,
+        in_shardings=(replicated, replicated, replicated, replicated),
         out_shardings=replicated,
     )
 

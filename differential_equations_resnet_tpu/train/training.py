@@ -154,8 +154,13 @@ class Training:
             (train_features, train_labels)
             if train_features is not None else None
         )
+        self._val_arrays = (
+            (val_features, val_labels) if val_features is not None else None
+        )
         self._device_train = None
+        self._device_val = None
         self._device_epochs: dict = {}
+        self._device_eval_fns: dict = {}  # source name -> compiled full-pass eval
         self._jit_augment = jit_augment
         self._data_key = jax.random.key(data_seed if data_seed is not None else 0)
 
@@ -563,7 +568,9 @@ class Training:
                 and self._val_iter is not None
                 and epoch % eval_frequency == 0
             ):
-                eval_results = self._evaluate(eval_steps, scan_k=scan_k)
+                eval_results = self._evaluate(
+                    eval_steps, scan_k=scan_k, prefer_device=device_data
+                )
                 self.history["eval"].append(
                     {"epoch": epoch, "step": self.global_step, **eval_results}
                 )
@@ -660,7 +667,55 @@ class Training:
                 done += 1
         return self.eval_metrics.results()
 
-    def _evaluate(self, eval_steps: Optional[int], scan_k: int = 0) -> dict:
+    def _device_eval(self, source: str) -> dict:
+        """Full-pass device-resident evaluation (one dispatch, one fetch —
+        `make_device_eval`).  ``source`` is 'val' or 'train'; the arrays are
+        uploaded once and cached."""
+        arrays = self._val_arrays if source == "val" else self._train_arrays
+        if source == "val":
+            if self._device_val is None:
+                self._device_val = (
+                    jax.device_put(arrays[0]),
+                    jax.device_put(np.asarray(arrays[1])),
+                )
+            device_arrays = self._device_val
+        else:
+            if self._device_train is None:
+                self._device_train = (
+                    jax.device_put(arrays[0]),
+                    jax.device_put(np.asarray(arrays[1])),
+                )
+            device_arrays = self._device_train
+        if source not in self._device_eval_fns:
+            from differential_equations_resnet_tpu.train.train_step import (
+                make_device_eval,
+            )
+
+            self._device_eval_fns[source] = make_device_eval(
+                self.model, self.batch_size, mesh=self.mesh
+            )
+        metrics = self._device_eval_fns[source](
+            self.state.params, self.state.model_state, *device_arrays
+        )
+        self.eval_metrics.reset()
+        self.eval_metrics.update(
+            metrics["loss"], metrics["correct"], metrics["count"]
+        )
+        return self.eval_metrics.results()
+
+    def _evaluate(
+        self, eval_steps: Optional[int], scan_k: int = 0,
+        prefer_device: bool = False,
+    ) -> dict:
+        if (
+            prefer_device
+            and self._val_arrays is not None
+            and eval_steps is not None
+            and eval_steps == -(-len(self._val_arrays[0]) // self.batch_size)
+        ):
+            # Device-resident training evaluates device-resident too when
+            # eval_steps asks for exactly one full pass.
+            return self._device_eval("val")
         if eval_steps is None:
             raise ValueError("eval_steps must be provided for a repeated dataset.")
         return self._run_eval(self._val_iter, eval_steps, scan_k)
@@ -670,10 +725,13 @@ class Training:
         dataset: str = "val",
         num_steps: Optional[int] = None,
         scan_steps: int = 0,
+        device_data: bool = False,
     ) -> dict:
         """Standalone evaluation (reference `evaluate`,
         training/training.py:708-750).  `scan_steps=K > 1` evaluates K
-        batches per dispatch.
+        batches per dispatch.  `device_data=True` runs a FULL pass over the
+        device-resident arrays in one dispatch (requires array-backed data
+        and num_steps=None or the full-pass count).
 
         Always evaluates over a FRESH pass of the requested dataset, never
         the live training/validation iterators — evaluating mid-training must
@@ -690,6 +748,21 @@ class Training:
             full_pass = None if n is None else -(-n // self.batch_size)
         else:
             raise ValueError("dataset must be 'train' or 'val'.")
+        if device_data:
+            arrays = self._train_arrays if dataset == "train" else self._val_arrays
+            if arrays is None:
+                raise ValueError(
+                    "evaluate(device_data=True) requires array-backed data "
+                    f"for {dataset!r}."
+                )
+            device_full = -(-len(arrays[0]) // self.batch_size)
+            if num_steps not in (None, device_full):
+                raise ValueError(
+                    "evaluate(device_data=True) always runs one full pass "
+                    f"({device_full} batches); num_steps={num_steps} is not "
+                    "supported."
+                )
+            return self._device_eval(dataset)
         if source is None:
             raise ValueError(f"No {dataset} dataset available.")
         if num_steps is None:

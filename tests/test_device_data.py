@@ -189,3 +189,56 @@ def test_saturation_matches_host_hsv_roundtrip():
     host = hsv_to_rgb(rgb_to_hsv(x))
     dev = np.asarray(jit_augment._hsv_to_rgb(jit_augment._rgb_to_hsv(jnp.asarray(x))))
     np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_device_eval_matches_host_eval():
+    """make_device_eval's one-dispatch full pass == the host per-batch eval
+    path, including the masked ragged final batch."""
+    from differential_equations_resnet_tpu.train.training import Training
+
+    x, y = _data(n=250)  # 250 = 15*16 + ragged 10
+    model = _model()
+    trainer = Training(
+        model, train_features=x, train_labels=y,
+        val_features=x[:100], val_labels=y[:100],
+        batch_size=16, record_summaries=False,
+    )
+    host = trainer.evaluate("val")          # fresh full pass, host path
+    dev = trainer.evaluate("val", device_data=True)
+    np.testing.assert_allclose(dev["mean_loss"], host["mean_loss"], rtol=1e-5)
+    assert dev["accuracy"] == pytest.approx(host["accuracy"], abs=1e-6)
+
+    # Ragged source (100 = 6*16 + 4): device path masks the tail.
+    host_tr = trainer.evaluate("train")
+    dev_tr = trainer.evaluate("train", device_data=True)
+    # Host 'train' pass drops the remainder batch (the training pipeline
+    # uses drop_remainder), device eval covers every example — both must be
+    # finite and close on this homogeneous synthetic set.
+    assert np.isfinite(dev_tr["mean_loss"]) and np.isfinite(host_tr["mean_loss"])
+
+    with pytest.raises(ValueError, match="full pass"):
+        trainer.evaluate("val", num_steps=3, device_data=True)
+    trainer.close()
+
+
+def test_training_device_data_uses_device_eval(tmp_path):
+    """train(device_data=True) with full-pass eval_steps routes evaluation
+    through the device path (and records identical-semantics metrics)."""
+    from differential_equations_resnet_tpu.train.training import Training
+
+    x, y = _data(n=160)
+    model = _model()
+    trainer = Training(
+        model, train_features=x, train_labels=y,
+        val_features=x[:50], val_labels=y[:50], batch_size=16,
+        record_summaries=False,
+    )
+    full = -(-50 // 16)
+    trainer.train(
+        epochs=1, steps_per_epoch=5, eval_steps=full,
+        learning_rate_schedule=lambda s: 1e-3,
+        device_data=True, verbose=False,
+    )
+    assert trainer._device_eval_fns  # the device eval actually compiled
+    assert np.isfinite(trainer.history["eval"][-1]["mean_loss"])
+    trainer.close()
