@@ -197,6 +197,9 @@ def cmd_evaluate(args) -> int:
     )
     if args.checkpoint:
         trainer.load_variables(args.checkpoint)
+    if args.device_data:
+        print(json.dumps(trainer.evaluate("val", device_data=True)))
+        return 0
     steps = (len(test_x) + args.batch_size - 1) // args.batch_size
     print(json.dumps(trainer.evaluate("val", num_steps=steps)))
     return 0
@@ -622,6 +625,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("evaluate")
     _add_model_args(p)
+    p.add_argument("--device-data", action="store_true",
+                   help="full-pass device-resident evaluation: the dataset "
+                        "lives in HBM and the whole pass is one dispatch")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--cifar10-dir", default=None)
     p.add_argument("--synthetic-train-size", type=int, default=None)
