@@ -79,6 +79,13 @@ def fused_euler_eligible(x: jax.Array, blocks) -> bool:
     channels = x.shape[-1]
     if channels > 128:
         return False
+    # The kernel keeps the whole padded spatial state in VMEM with the minor
+    # dim padded to 128 lanes by Mosaic: (H+2)(W+2)*128 lanes * 4 B of state
+    # plus the (rows, 9C) im2col buffer.  Decline anything past CIFAR-scale
+    # spatial extents (64x64) rather than letting Mosaic fail on scoped-VMEM
+    # allocation at e.g. 224x224 (a ~26 MB state tile).
+    if x.shape[1] * x.shape[2] > 64 * 64:
+        return False
     return True
 
 

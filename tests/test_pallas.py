@@ -37,6 +37,13 @@ def test_eligibility_gate():
     assert not fused_euler_eligible(x.astype(jnp.bfloat16), blocks)
     assert not fused_euler_eligible(x[0], blocks)
     assert not fused_euler_eligible(x, blocks._replace(bias=None))
+    # Spatial extents past CIFAR scale must DECLINE (VMEM state tile), never
+    # reach Mosaic and fail its scoped-VMEM allocation: a 224x224 ImageNet
+    # shape is the regression case.
+    big = jnp.zeros((1, 224, 224, x.shape[-1]), jnp.float32)
+    assert not fused_euler_eligible(big, blocks)
+    ok = jnp.zeros((1, 64, 64, x.shape[-1]), jnp.float32)
+    assert fused_euler_eligible(ok, blocks)
 
 
 def test_forward_matches_xla_scan():
