@@ -34,3 +34,4 @@ from differential_equations_resnet_tpu.data.records import (  # noqa: F401
     RecordGenerator,
     get_record_paths,
 )
+from differential_equations_resnet_tpu.data import jit_augment  # noqa: F401
