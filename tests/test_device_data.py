@@ -242,3 +242,39 @@ def test_training_device_data_uses_device_eval(tmp_path):
     assert trainer._device_eval_fns  # the device eval actually compiled
     assert np.isfinite(trainer.history["eval"][-1]["mean_loss"])
     trainer.close()
+
+
+def test_device_epoch_on_dp_mesh_matches_single_device():
+    """make_device_epoch under a 4-device data mesh == the unsharded epoch
+    on the same key (the replicated dataset is gathered identically; XLA
+    inserts the gradient psum)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from differential_equations_resnet_tpu.parallel import create_mesh
+
+    x, y = _data(n=128)
+    model = _model()
+    tx = make_adam()
+    lrs = jnp.full((6,), 1e-3, jnp.float32)
+    key = jax.random.key(9)
+
+    single = make_device_epoch(model, tx, 16, donate=False)
+    s0 = create_train_state(model, jax.random.key(0), tx)
+    s1, m1, g1 = single(s0, jnp.asarray(x), jnp.asarray(y), key, lrs)
+
+    mesh = create_mesh((4,), ("data",))
+    rep = NamedSharding(mesh, P())
+    sharded = make_device_epoch(model, tx, 16, mesh=mesh, donate=False)
+    s0m = jax.tree.map(lambda a: jax.device_put(a, rep), s0)
+    s2, m2, g2 = sharded(
+        s0m, jax.device_put(jnp.asarray(x), rep),
+        jax.device_put(jnp.asarray(y), rep), jax.device_put(key, rep), 
+        jax.device_put(lrs, rep),
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2["loss"]), np.asarray(m1["loss"]), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6
+        )
