@@ -509,6 +509,8 @@ def cmd_reproduce(args) -> int:
     steps_per_epoch = args.steps_per_epoch or (
         (len(train_x) + batch - 1) // batch  # 1563 for the full 50k set
     )
+    if args.device_data:
+        steps_per_epoch = min(steps_per_epoch, len(train_x) // batch)
     eval_steps = (len(test_x) + batch - 1) // batch
     os.makedirs(args.csv_dir, exist_ok=True)
 
@@ -540,6 +542,7 @@ def cmd_reproduce(args) -> int:
             eval_steps=eval_steps,
             summaries_frequency=10,
             scan_steps=args.scan_steps,
+            device_data=args.device_data,
             save_during_training=args.save_dir is not None,
             save_dir=(os.path.join(args.save_dir, name)
                       if args.save_dir else None),
@@ -704,6 +707,9 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=21)
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--scan-steps", type=int, default=50)
+    p.add_argument("--device-data", action="store_true",
+                   help="device-resident epochs (fastest; floor(N/batch) "
+                        "steps per epoch)")
     p.add_argument("--csv-dir", default="./numerical_results/csv")
     p.add_argument("--save-dir", default=None)
     p.add_argument("--only", default=None,
