@@ -266,6 +266,17 @@ def make_device_epoch(
             idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
             x = features[idx].astype(jnp.float32)
             y = labels[idx]
+            if mesh is not None:
+                # Shard the gathered batch over the data axis: with every
+                # operand replicated, GSPMD would otherwise keep the whole
+                # step replicated too (each device redundantly computing the
+                # full batch) — this constraint is what makes the mesh mode
+                # data-parallel, with XLA inserting the gradient psum.
+                batch_sharding = NamedSharding(mesh, P("data"))
+                x = jax.lax.with_sharding_constraint(x, batch_sharding)
+                y = jax.lax.with_sharding_constraint(
+                    y, NamedSharding(mesh, P("data"))
+                )
             if augment is not None:
                 x = augment(ak, x)
             new_state, metrics, grad_norms = step_fn(carry, x, y, lr)
@@ -281,7 +292,7 @@ def make_device_epoch(
         return jax.jit(epoch_fn, donate_argnums=donate_argnums)
     # DP over the mesh: the dataset stays replicated (the gather indices are
     # data-dependent, so sharding N would force cross-device gathers); the
-    # per-step batch is resharded onto the data axis by the partitioner.
+    # per-step batch is explicitly constrained onto the data axis in `body`.
     replicated = NamedSharding(mesh, P())
     return jax.jit(
         epoch_fn,
@@ -388,8 +399,19 @@ def make_device_eval(model, batch_size: int, mesh: Optional[Mesh] = None):
             start = i * batch_size
             x = jax.lax.dynamic_slice_in_dim(feats, start, batch_size)
             y = jax.lax.dynamic_slice_in_dim(labs, start, batch_size)
+            x = x.astype(jnp.float32)
+            if mesh is not None:
+                # Same reasoning as make_device_epoch: without this
+                # constraint every device would redundantly evaluate the
+                # full batch.
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("data"))
+                )
+                y = jax.lax.with_sharding_constraint(
+                    y, NamedSharding(mesh, P("data"))
+                )
             logits, _ = model.apply(
-                params, model_state, x.astype(jnp.float32),
+                params, model_state, x,
                 train=False, return_logits=True,
             )
             valid = ((start + jnp.arange(batch_size)) < n).astype(jnp.float32)

@@ -147,9 +147,10 @@ class Training:
         self._multi_steps: dict = {}  # scan_steps K -> compiled K-step trainer
         self._multi_evals: dict = {}  # K -> compiled K-batch eval
         # Device-resident mode (train(device_data=True)): the raw train
-        # arrays, their one-time device upload, compiled whole-epoch
-        # trainers keyed by steps_per_epoch, the in-jit augmentation, and
-        # the RNG stream driving shuffle + augmentation.
+        # arrays, their one-time device upload, the compiled whole-epoch
+        # trainer (one jit wrapper — the scan length specializes on
+        # lrs.shape), the in-jit augmentation, and the RNG stream driving
+        # shuffle + augmentation.
         self._train_arrays = (
             (train_features, train_labels)
             if train_features is not None else None
@@ -159,7 +160,7 @@ class Training:
         )
         self._device_train = None
         self._device_val = None
-        self._device_epochs: dict = {}
+        self._device_epoch = None
         self._device_eval_fns: dict = {}  # source name -> compiled full-pass eval
         self._jit_augment = jit_augment
         self._data_key = jax.random.key(data_seed if data_seed is not None else 0)
@@ -204,6 +205,18 @@ class Training:
     @property
     def global_step(self) -> int:
         return self._host_step
+
+    def _put_replicated(self, array):
+        """Upload a device-resident dataset array once.  On a mesh it is
+        committed with the replicated NamedSharding the compiled epoch/eval
+        expects — a bare device_put would leave a single-device array that
+        multi-host meshes reject and single-host meshes re-broadcast on
+        every dispatch."""
+        if self.mesh is None:
+            return jax.device_put(array)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(array, NamedSharding(self.mesh, P()))
 
     def _device_batch(self, batch):
         images, labels = batch
@@ -271,6 +284,19 @@ class Training:
                 )
             multi_step = self._multi_steps[scan_k]
 
+        if self._jit_augment is not None and not device_data:
+            raise ValueError(
+                "jit_augment runs inside the device-resident epoch only; "
+                "call train(device_data=True), or use the host preprocessors "
+                "(data/preprocessors.py) for the streaming paths.  Silently "
+                "training unaugmented would corrupt the experiment."
+            )
+        if steps_per_epoch < 1:
+            raise ValueError(
+                f"steps_per_epoch must be >= 1, got {steps_per_epoch} "
+                "(a batch size larger than the dataset reduces a "
+                "device-resident epoch to zero steps)."
+            )
         if device_data:
             # Whole-epoch device residency (make_device_epoch docstring):
             # the dataset is uploaded once, and each epoch is ONE dispatch
@@ -291,21 +317,24 @@ class Training:
                 )
             if self._device_train is None:
                 self._device_train = (
-                    jax.device_put(feats), jax.device_put(np.asarray(labs))
+                    self._put_replicated(feats),
+                    self._put_replicated(np.asarray(labs)),
                 )
-            if steps_per_epoch not in self._device_epochs:
+            if self._device_epoch is None:
                 from differential_equations_resnet_tpu.train.train_step import (
                     make_device_epoch,
                 )
 
-                self._device_epochs[steps_per_epoch] = make_device_epoch(
+                # One jit wrapper serves every steps_per_epoch — the scan
+                # length comes from lrs.shape, which jit specializes on.
+                self._device_epoch = make_device_epoch(
                     self.model, self.tx, self.batch_size, mesh=self.mesh,
                     with_gradient_metrics=(
                         "mean_gradient_norms" in self.summaries
                     ),
                     augment=self._jit_augment,
                 )
-            device_epoch = self._device_epochs[steps_per_epoch]
+            device_epoch = self._device_epoch
 
         for epoch in range(1, epochs + 1):
             profiling = profile_dir is not None and epoch == profile_epoch
@@ -675,15 +704,15 @@ class Training:
         if source == "val":
             if self._device_val is None:
                 self._device_val = (
-                    jax.device_put(arrays[0]),
-                    jax.device_put(np.asarray(arrays[1])),
+                    self._put_replicated(arrays[0]),
+                    self._put_replicated(np.asarray(arrays[1])),
                 )
             device_arrays = self._device_val
         else:
             if self._device_train is None:
                 self._device_train = (
-                    jax.device_put(arrays[0]),
-                    jax.device_put(np.asarray(arrays[1])),
+                    self._put_replicated(arrays[0]),
+                    self._put_replicated(np.asarray(arrays[1])),
                 )
             device_arrays = self._device_train
         if source not in self._device_eval_fns:
