@@ -39,8 +39,16 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--final-time", type=float, default=8.0)
     p.add_argument("--gamma", type=float, default=0.0)
     p.add_argument(
-        "--kernel-type", choices=["antisymmetric", "regular"], default="antisymmetric"
+        "--kernel-type",
+        choices=["antisymmetric", "regular", "centrosymmetric"],
+        default="antisymmetric",
+        help="centrosymmetric = the reference general layer's "
+             "antisymmetric=False mode (trainable center, any odd "
+             "--kernel-size)",
     )
+    p.add_argument("--kernel-size", type=int, default=3,
+                   help="spatial kernel size (centrosymmetric/regular only; "
+                        "the antisymmetric path is 3x3-specialized)")
     p.add_argument(
         "--integrator", choices=["euler", "midpoint", "rk4"], default="euler"
     )
@@ -78,6 +86,7 @@ def _build_model(args):
         final_time=args.final_time,
         num_filters=args.num_filters,
         kernel_type=args.kernel_type,
+        kernel_size=getattr(args, "kernel_size", 3),
         gamma=args.gamma,
         integrator=args.integrator,
         remat=args.remat,
@@ -158,9 +167,6 @@ def cmd_train(args) -> int:
     steps_per_epoch = args.steps_per_epoch or (
         (len(train_x) + args.batch_size - 1) // args.batch_size
     )
-    eval_steps = args.eval_steps or (
-        (len(test_x) + args.batch_size - 1) // args.batch_size
-    )
     if args.device_data:
         # Whole-epoch device residency draws batches without replacement;
         # clamp the epoch to the dataset size.
@@ -169,7 +175,8 @@ def cmd_train(args) -> int:
         epochs=args.epochs,
         steps_per_epoch=steps_per_epoch,
         learning_rate_schedule=lambda step: args.learning_rate,
-        eval_steps=eval_steps,
+        eval_dataset=args.eval_dataset,
+        eval_steps=args.eval_steps,  # None = one full pass (Training default)
         save_during_training=args.save_dir is not None,
         save_dir=args.save_dir,
         monitor=args.monitor,
@@ -584,16 +591,17 @@ def cmd_export(args) -> int:
     return 0
 
 
-def main(argv=None) -> int:
-    # Persistent XLA compilation cache: repeat CLI runs load the serialized
-    # train-step executable in <1 s instead of recompiling (tens of seconds,
-    # highly load-variable on tunneled backends).  DEQRES_COMPILE_CACHE=0
-    # opts out (utils/compile_cache.py).
-    from differential_equations_resnet_tpu.utils.compile_cache import (
-        enable_compile_cache,
-    )
+# Subcommands that dispatch device compute.  The persistent-compile-cache
+# setup probes `jax.default_backend()`, which initializes the backend (on TPU
+# hosts: grabs the accelerator) — so it must NOT run for `--help`, argparse
+# errors, or host-only subcommands (analyze / convert-records / fetch-cifar10).
+_COMPUTE_COMMANDS = frozenset(
+    {"train", "evaluate", "predict", "benchmark", "deep-stability", "sweep",
+     "reproduce", "export"}
+)
 
-    enable_compile_cache()
+
+def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="deqres", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -601,7 +609,11 @@ def main(argv=None) -> int:
     _add_model_args(p)
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--steps-per-epoch", type=int, default=None)
-    p.add_argument("--eval-steps", type=int, default=None)
+    p.add_argument("--eval-steps", type=int, default=None,
+                   help="evaluation batches per eval (default: one full pass)")
+    p.add_argument("--eval-dataset", choices=["train", "val"], default="val",
+                   help="dataset evaluated between epochs (the reference "
+                        "also supports evaluating on the training set)")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--cifar10-dir", default=None)
@@ -732,6 +744,16 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_export)
 
     args = parser.parse_args(argv)
+    if args.command in _COMPUTE_COMMANDS:
+        # Persistent XLA compilation cache: repeat CLI runs load the
+        # serialized train-step executable in <1 s instead of recompiling
+        # (tens of seconds, highly load-variable on tunneled backends).
+        # DEQRES_COMPILE_CACHE=0 opts out (utils/compile_cache.py).
+        from differential_equations_resnet_tpu.utils.compile_cache import (
+            enable_compile_cache,
+        )
+
+        enable_compile_cache()
     return args.fn(args)
 
 

@@ -34,8 +34,11 @@ from differential_equations_resnet_tpu.models.blocks import (
 )
 from differential_equations_resnet_tpu.ops.antisymmetric import (
     Antisym3x3Params,
+    AntisymKxKParams,
     init_antisym_3x3,
+    init_antisym_kxk,
     materialize_3x3_stacked,
+    materialize_kxk,
 )
 from differential_equations_resnet_tpu.ops.conv import conv2d_same, euler_relu_step
 from differential_equations_resnet_tpu.ops.integrators import integrate
@@ -48,7 +51,12 @@ class SingleBlockResNetConfig:
     (integrator, remat, compute_dtype)."""
 
     image_shape: Tuple[int, int, int] = (32, 32, 3)
-    kernel_type: str = "antisymmetric"  # 'antisymmetric' | 'regular'
+    kernel_type: str = "antisymmetric"  # 'antisymmetric' | 'regular' |
+                                # 'centrosymmetric' (the reference general
+                                # layer's antisymmetric=False mode,
+                                # layers/tfkeras_layer_Conv2DAntisymmetric.py
+                                # :67,242: plain centrosymmetric kernels,
+                                # trainable center, any odd kernel_size)
     kernel_size: int = 3
     h: float = 1.0
     gamma: float = 0.0
@@ -77,10 +85,16 @@ class SingleBlockResNetConfig:
                                 # while the conv is overhead-bound
                                 # (_s2d_eligible's measured row threshold).
     s2d_force: bool = False     # skip the batch gate (benchmarking/tests)
-    dp_shards: int = 1          # data-parallel shards the global batch is
-                                # divided over; the s2d batch gate uses
-                                # per-DEVICE rows (under jit shardings the
-                                # traced x carries the GLOBAL shape)
+    s2d_max_rows: Optional[int] = None  # override the measured packed/direct
+                                # crossover row count (_S2D_MAX_ROWS) on
+                                # hardware where the v5e measurement is wrong
+    data_axis_size: int = 1     # number of devices the batch is sharded
+                                # over.  NOT a user knob: the train/eval step
+                                # builders derive it from the mesh's 'data'
+                                # axis automatically (train_step._bind_mesh)
+                                # so the s2d batch gate sees per-DEVICE rows
+                                # (under jit shardings the traced x carries
+                                # the GLOBAL shape).
     pp_mesh: Any = None         # Mesh: pipeline the identity-block stack over
     pp_axis: str = "pipe"       # pp_axis (GPipe shard_map + ppermute over the
     pp_microbatches: int = 0    # layer axis, parallel/pipeline.py); 0 micro-
@@ -105,7 +119,9 @@ class SingleBlockResNetConfig:
                 "You must pass a positive integer for `num_classes` if "
                 "`include_top` is `True`."
             )
-        if self.kernel_type not in ("antisymmetric", "regular"):
+        if self.kernel_type not in (
+            "antisymmetric", "regular", "centrosymmetric"
+        ):
             raise ValueError(f"Unknown kernel_type {self.kernel_type!r}.")
         if self.integrator != "euler" and self.use_batch_norm:
             raise ValueError(
@@ -147,12 +163,11 @@ def cifar10_single_block_config(
     at C=16 the packed path measured 372 vs 273 steps/s on one v5e for the
     64Lx16F batch-32 headline step (the unpacked conv wastes 8x MXU lane
     padding at N=16).  Pass ``s2d_block=0`` for the direct layout."""
-    defaults = dict(s2d_block=2)
+    defaults = dict(s2d_block=2, kernel_size=3)
     defaults.update(overrides)
     return SingleBlockResNetConfig(
         image_shape=(32, 32, 3),
         kernel_type=kernel_type,
-        kernel_size=3,
         h=final_time / num_layers,
         gamma=gamma,
         num_stages=2,
@@ -220,6 +235,12 @@ def _init_identity_blocks(key, config, num_blocks, channels, dtype):
     keys = jax.random.split(key, num_blocks)
     if config.kernel_type == "antisymmetric":
         blocks = jax.vmap(lambda k: init_antisym_3x3(k, channels, dtype=dtype))(keys)
+    elif config.kernel_type == "centrosymmetric":
+        blocks = jax.vmap(
+            lambda k: init_antisym_kxk(
+                k, config.kernel_size, channels, antisymmetric=False, dtype=dtype
+            )
+        )(keys)
     else:
         ks = (config.kernel_size, config.kernel_size)
         blocks = jax.vmap(lambda k: init_conv(k, ks, channels, channels, dtype=dtype))(keys)
@@ -322,6 +343,15 @@ def _dense_blocks(blocks, config) -> ConvParams:
             kernel=materialize_3x3_stacked(blocks, config.gamma),
             bias=blocks.bias,
         )
+    elif isinstance(blocks, AntisymKxKParams):
+        # Centrosymmetric mode: trainable center, gamma unused (the
+        # reference only pins the center in the antisymmetric case).
+        dense = ConvParams(
+            kernel=materialize_kxk(
+                blocks, config.kernel_size, antisymmetric=False
+            ),
+            bias=blocks.bias,
+        )
     else:
         dense = blocks
     return ConvParams(
@@ -385,25 +415,35 @@ def _apply_identity_blocks(x, sp, ss, config, train):
     return y, {"blocks_bn": new_states}
 
 
+# Packed/direct crossover of the s2d gate, in per-device input rows
+# (N*H*W).  Measurement provenance: TPU v5e, 64L x 16F headline config,
+# round 2 (docs/RESULTS.md section 2b) — batch 32 (32768 rows) 354 packed
+# vs 262 direct steps/s; batch 64 149 vs 211; batch 128 177 vs 211.  Other
+# hardware generations or channel widths may move the crossover; override
+# per-config via `s2d_max_rows` (or `s2d_force` to skip the gate).
+_S2D_MAX_ROWS = 32768
+
+
 def _s2d_eligible(config, x) -> bool:
     """Space-to-depth packing wins only while the per-layer conv is
     overhead/HBM-bound: it trades 4x nominal FLOPs (3/4 structural zeros in
-    the packed kernel) for ~1.6x less padded-MXU work at small C.  Measured
-    crossover on v5e (64L x 16F): batch 32 (32768 input rows) 354 packed vs
-    262 direct steps/s, batch 64 149 vs 211, batch 128 177 vs 211 — once
+    the packed kernel) for ~1.6x less padded-MXU work at small C.  Once
     N*H*W fills the MXU the extra FLOPs dominate, so packing is gated on the
-    row count (s2d_force overrides for benchmarking).  Under data
+    per-device row count (`_S2D_MAX_ROWS`; `s2d_max_rows` overrides the
+    threshold, `s2d_force` skips the gate for benchmarking).  Under data
     parallelism the traced x carries the GLOBAL batch, but the crossover is
-    a per-device property — config.dp_shards rescales the gate."""
+    a per-device property — the step builders bind `config.data_axis_size`
+    from the mesh so the gate divides down to per-device rows."""
     b = config.s2d_block
     rows = x.shape[0] * x.shape[1] * x.shape[2]
-    rows //= max(int(getattr(config, "dp_shards", 1)), 1)
+    rows //= max(int(getattr(config, "data_axis_size", 1)), 1)
+    max_rows = getattr(config, "s2d_max_rows", None) or _S2D_MAX_ROWS
     return (
         b > 1
         and config.kernel_size == 3
         and x.shape[1] % b == 0
         and x.shape[2] % b == 0
-        and (getattr(config, "s2d_force", False) or rows <= 32768)
+        and (getattr(config, "s2d_force", False) or rows <= max_rows)
     )
 
 
@@ -575,6 +615,17 @@ class SingleBlockResNet:
     @property
     def name(self) -> str:
         return self.config.name
+
+    def with_data_axis_size(self, n: int) -> "SingleBlockResNet":
+        """Internal: rebind the config's `data_axis_size` (the number of
+        devices the batch is sharded over) so shape-dependent layout gates
+        (`_s2d_eligible`) see per-device rows.  Called automatically by the
+        train/eval step builders when a mesh is passed — never a user knob."""
+        if n == self.config.data_axis_size:
+            return self
+        return SingleBlockResNet(
+            dataclasses.replace(self.config, data_axis_size=n)
+        )
 
 
 def build_single_block_resnet(config=None, **kwargs) -> SingleBlockResNet:

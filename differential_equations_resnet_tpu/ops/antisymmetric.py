@@ -386,31 +386,59 @@ def materialize_kxk(
     gamma: float = 0.0,
     antisymmetric: bool = True,
 ) -> jax.Array:
-    """Packed params -> dense (k, k, C, C) HWIO kernel.
+    """Packed params -> dense (..., k, k, C, C) HWIO kernel.
 
     Diagonal blocks are (anti-)centrosymmetric per the ``antisymmetric`` flag;
     cross-channel mirror blocks are always ``-rot180`` of the free blocks,
     matching the reference's general layer where the exchange-matrix transform
     is applied unconditionally
     (`layers/tfkeras_layer_Conv2DAntisymmetric.py:139`).
+
+    Leading (stacked-layer) dims pass through, so a whole (L, ...) parameter
+    stack materializes in ONE vectorized scatter before the depth scan —
+    the same pre-scan bulk strategy as `materialize_3x3_stacked`.
     """
     k = kernel_size
     channels = params.diag.shape[-1]
+    lead = params.diag.shape[:-2]
     sign = -1.0 if antisymmetric else 1.0
     free_idx, mirror_idx, center_idx = _diag_layout(k, antisymmetric)
 
-    flat = jnp.zeros((k * k, channels), dtype=params.diag.dtype)
-    flat = flat.at[free_idx, :].set(params.diag)
-    flat = flat.at[mirror_idx, :].set(sign * params.diag)
+    flat = jnp.zeros(lead + (k * k, channels), dtype=params.diag.dtype)
+    flat = flat.at[..., free_idx, :].set(params.diag)
+    flat = flat.at[..., mirror_idx, :].set(sign * params.diag)
     if center_idx is not None:
-        flat = flat.at[center_idx, :].set(gamma)
-    diag = flat.reshape(k, k, channels)
+        flat = flat.at[..., center_idx, :].set(gamma)
+    diag = flat.reshape(lead + (k, k, channels))
 
-    kernel = jnp.zeros((k, k, channels, channels), dtype=params.diag.dtype)
+    kernel = jnp.zeros(lead + (k, k, channels, channels), dtype=params.diag.dtype)
     idx = jnp.arange(channels)
-    kernel = kernel.at[:, :, idx, idx].set(diag)
+    kernel = kernel.at[..., idx, idx].set(diag)
     c_in, c_out = cross_pair_indices(channels)
     if c_in.size:
-        kernel = kernel.at[:, :, c_in, c_out].set(params.cross)
-        kernel = kernel.at[:, :, c_out, c_in].set(-params.cross[::-1, ::-1, :])
+        kernel = kernel.at[..., c_in, c_out].set(params.cross)
+        kernel = kernel.at[..., c_out, c_in].set(
+            -jnp.flip(params.cross, (-3, -2))
+        )
     return kernel
+
+
+def pack_kxk(
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    antisymmetric: bool = True,
+) -> AntisymKxKParams:
+    """Inverse of :func:`materialize_kxk` (up to the constant gamma center in
+    the antisymmetric case): extract the packed free parameters from a dense
+    (k, k, C, C) kernel.  Used for weight surgery and reference interop."""
+    k = kernel.shape[0]
+    channels = kernel.shape[-1]
+    free_idx, _, _ = _diag_layout(k, antisymmetric)
+    idx = jnp.arange(channels)
+    diag_flat = kernel[:, :, idx, idx].reshape(k * k, channels)
+    c_in, c_out = cross_pair_indices(channels)
+    return AntisymKxKParams(
+        diag=diag_flat[free_idx],
+        cross=kernel[:, :, c_in, c_out],
+        bias=bias,
+    )

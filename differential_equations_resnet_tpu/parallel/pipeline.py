@@ -118,8 +118,6 @@ def pipeline_blocks_apply(
     (`reference_euler_dense`); tested to fp32 tolerance in
     tests/test_pipeline.py.
     """
-    from jax import shard_map
-
     n_stages = mesh.shape[axis_name]
     num_layers = kernels.shape[0]
     if num_layers % n_stages:
@@ -136,6 +134,22 @@ def pipeline_blocks_apply(
     m = num_microbatches or n_stages
     if batch % m:
         raise ValueError(f"batch ({batch}) must divide into {m} microbatches")
+
+    return _pipelined_fn(mesh, axis_name, m, float(h), batch_spec)(
+        kernels, biases, x
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _pipelined_fn(mesh: Mesh, axis_name: str, m: int, h: float, batch_spec: P):
+    """The compiled pipeline executable, cached on its static configuration.
+
+    Without the cache, every EAGER call of `pipeline_blocks_apply` (i.e.
+    `model.apply` outside an outer jit) would build a fresh shard_map closure
+    and re-jit — a full retrace + recompile per call.  Under an outer jit the
+    inner jit is inlined for free either way; the cache makes eager callers
+    equally cheap after the first call."""
+    from jax import shard_map
 
     from differential_equations_resnet_tpu.ops.conv import euler_relu_step
 
@@ -170,4 +184,4 @@ def pipeline_blocks_apply(
     )
     # jit so the remat (closed_call) inside the shard_map body is supported
     # under eager differentiation too; under an outer jit this nests for free.
-    return jax.jit(fn)(kernels, biases, x)
+    return jax.jit(fn)

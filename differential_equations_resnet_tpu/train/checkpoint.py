@@ -24,6 +24,29 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _layout_hint(saved_treedef: str, target_treedef: str) -> str:
+    """A structure-drift error usually means a genuinely different model —
+    except when the trees differ (only) in the antisymmetric-conv parameter
+    layout (packed `Antisym3x3Params` vs dense-lower `Antisym3x3DenseParams`,
+    e.g. a bottleneck checkpoint saved before the family switched layouts).
+    That conversion is bit-exact and mechanical, so point the user at it."""
+    saved = ("Antisym3x3Params" in saved_treedef,
+             "Antisym3x3DenseParams" in saved_treedef)
+    target = ("Antisym3x3Params" in target_treedef,
+              "Antisym3x3DenseParams" in target_treedef)
+    if saved != target and (any(saved) or any(target)):
+        return (
+            "\nThe structures differ in the antisymmetric-conv parameter "
+            "layout (packed Antisym3x3Params vs dense-lower "
+            "Antisym3x3DenseParams).  The conversion is bit-exact: load the "
+            "checkpoint into a model of the saved layout (or unpickle it) "
+            "and run the params through "
+            "differential_equations_resnet_tpu.utils.weight_utils."
+            "convert_antisym_layout(params, to='dense'|'packed')."
+        )
+    return ""
+
+
 class Checkpointer:
     """Save/restore TrainState pytrees under metric-encoded directory names
     (parity with the reference `Training.save`, training/training.py:781-858,
@@ -126,6 +149,7 @@ class Checkpointer:
                 f"Checkpoint {path} was saved with a different pytree "
                 f"structure than the restore target.\n  saved:  "
                 f"{meta['treedef']}\n  target: {target_treedef}"
+                + _layout_hint(meta["treedef"], str(target_treedef))
             )
         if os.path.isfile(os.path.join(path, "state.pkl")):
             with open(os.path.join(path, "state.pkl"), "rb") as f:
@@ -136,6 +160,7 @@ class Checkpointer:
                     f"Checkpoint {path} pytree structure does not match the "
                     f"restore target.\n  saved:  {restored_treedef}\n  "
                     f"target: {target_treedef}"
+                    + _layout_hint(str(restored_treedef), str(target_treedef))
                 )
         else:
             import orbax.checkpoint as ocp

@@ -36,6 +36,7 @@ from differential_equations_resnet_tpu.models.single_block_resnet import (
 from differential_equations_resnet_tpu.ops.antisymmetric import (
     Antisym3x3DenseParams,
     Antisym3x3Params,
+    AntisymKxKParams,
     num_cross_pairs,
 )
 
@@ -52,6 +53,10 @@ def _kernel_leaves(block_grads):
     if isinstance(block_grads, (Antisym3x3Params, Antisym3x3DenseParams)):
         return [block_grads.a, block_grads.b, block_grads.c, block_grads.d,
                 block_grads.cross]
+    if isinstance(block_grads, AntisymKxKParams):
+        # General k x k (anti-)centrosymmetric layer: every diag/cross entry
+        # is a free parameter.
+        return [block_grads.diag, block_grads.cross]
     if isinstance(block_grads, ConvParams):
         return [block_grads.kernel]
     if isinstance(block_grads, dict):  # bottleneck block: 3x3 mid-conv only

@@ -77,6 +77,22 @@ def _set_lr(opt_state, lr):
     )
 
 
+def _bind_mesh(model, mesh: Optional[Mesh]):
+    """Derive shape-gate context from the mesh: when the batch is sharded
+    over a 'data' axis, the model's layout gates (`_s2d_eligible`) must see
+    PER-DEVICE row counts even though the traced batch carries the global
+    shape.  Models expose `with_data_axis_size` for this; every step builder
+    routes through here so data-parallel users get the right layout
+    automatically (no manual knob)."""
+    if mesh is None:
+        return model
+    n = int(mesh.shape.get("data", 1))
+    binder = getattr(model, "with_data_axis_size", None)
+    if n > 1 and binder is not None:
+        return binder(n)
+    return model
+
+
 def build_loss_fn(model, train: bool = True):
     """The shared training objective:
     (params, model_state, images, labels) -> (loss, (new_model_state, logits)).
@@ -159,6 +175,7 @@ def make_train_step(
     metrics = {'loss', 'correct', 'count'} (device scalars for the streaming
     accumulators); grad_norms = (1 + num_layers,) per SURVEY.md section 5.5.
     """
+    model = _bind_mesh(model, mesh)
     step_fn = _build_step_fn(model, tx, with_gradient_metrics)
     donate_argnums = (0,) if donate else ()
     if mesh is None:
@@ -196,6 +213,7 @@ def make_multi_step(
     K is baked into the compiled executable (static shape); reuse the same K
     across calls to avoid recompiles.
     """
+    model = _bind_mesh(model, mesh)
     step_fn = _build_step_fn(model, tx, with_gradient_metrics)
 
     def multi_fn(state: TrainState, images, labels, lrs):
@@ -252,11 +270,22 @@ def make_device_epoch(
     replacement).  The RNG `key` drives both the shuffle and augmentation —
     pass a per-epoch fold of the data seed for reproducible streams.
     """
+    model = _bind_mesh(model, mesh)
     step_fn = _build_step_fn(model, tx, with_gradient_metrics)
 
     def epoch_fn(state: TrainState, features, labels, key, lrs):
         steps = lrs.shape[0]
         n = features.shape[0]
+        if steps * batch_size > n:
+            # Shapes are static at trace time, so every caller (Training,
+            # bench.py, __graft_entry__) gets this check for free.  Without
+            # it, dynamic_slice_in_dim would clamp out-of-range starts and
+            # silently train on repeated overlapping batches.
+            raise ValueError(
+                f"Device-resident epochs draw batches without replacement: "
+                f"steps * batch_size ({steps} * {batch_size}) exceeds the "
+                f"{n} examples in the device-resident dataset."
+            )
         perm_key, aug_key = jax.random.split(key)
         perm = jax.random.permutation(perm_key, n)
         aug_keys = jax.random.split(aug_key, steps)
@@ -332,6 +361,7 @@ def make_eval_step(model, mesh: Optional[Mesh] = None):
     softmax CE with no regularization penalty, correct count, count) — the
     reference's `_evaluate` fetches (`training/training.py:670-706`)."""
 
+    model = _bind_mesh(model, mesh)
     step_fn = _make_eval_fn(model)
 
     if mesh is None:
@@ -351,6 +381,7 @@ def make_multi_eval_step(model, mesh: Optional[Mesh] = None, unroll: int = 1):
     The evaluation analogue of `make_multi_step` — one host<->device round
     trip per K batches instead of per batch."""
 
+    model = _bind_mesh(model, mesh)
     single = _make_eval_fn(model)
 
     def multi_fn(params, model_state, images, labels):
@@ -385,6 +416,8 @@ def make_device_eval(model, batch_size: int, mesh: Optional[Mesh] = None):
     analogue of `make_device_epoch`: a 10k-image pass is one dispatch and
     one fetch.  Loss is plain CE, never the L2 penalty (_make_eval_fn note).
     """
+
+    model = _bind_mesh(model, mesh)
 
     def eval_all(params, model_state, features, labels):
         n = features.shape[0]
@@ -441,6 +474,8 @@ def make_device_eval(model, batch_size: int, mesh: Optional[Mesh] = None):
 def make_predict_step(model, mesh: Optional[Mesh] = None):
     """(params, model_state, images) -> model output (softmax probabilities,
     matching the reference predictor's input, `training/training.py:306-314`)."""
+
+    model = _bind_mesh(model, mesh)
 
     def step_fn(params, model_state, images):
         out, _ = model.apply(params, model_state, images, train=False)

@@ -252,6 +252,12 @@ class Training:
         """Run the training loop (argument surface mirrors the reference
         `Training.train`, training/training.py:473-488).
 
+        `eval_dataset` is 'val' (default) or 'train' (the reference's
+        default: evaluate on a fresh pass of the training set); invalid
+        values raise.  `eval_steps=None` defaults to one full pass when the
+        example count is known — in `device_data` mode that full pass runs
+        as a single dispatch (`make_device_eval`).
+
         `scan_steps=K > 1` runs K steps per dispatch through one compiled
         `lax.scan` (see `make_multi_step`): a single host<->device round trip
         per K steps, with identical numerics and per-step telemetry.  This is
@@ -265,6 +271,12 @@ class Training:
             raise ValueError("No training dataset was provided.")
         if monitor not in ("loss", "accuracy"):
             raise ValueError("`monitor` must be 'loss' or 'accuracy'.")
+        if eval_dataset not in ("train", "val"):
+            # Hard-validate like the reference (training/training.py:546-547):
+            # a typo here must not silently disable evaluation.
+            raise ValueError(
+                f"`eval_dataset` must be 'train' or 'val', got {eval_dataset!r}."
+            )
         checkpointer = None
         if save_during_training:
             if save_dir is None:
@@ -591,15 +603,12 @@ class Training:
 
             # -- periodic evaluation (reference :603-619) -------------------------
             eval_results = None
-            if (
-                eval_frequency
-                and eval_dataset == "val"
-                and self._val_iter is not None
-                and epoch % eval_frequency == 0
-            ):
+            if eval_frequency and epoch % eval_frequency == 0:
                 eval_results = self._evaluate(
-                    eval_steps, scan_k=scan_k, prefer_device=device_data
+                    eval_dataset, eval_steps, scan_k=scan_k,
+                    prefer_device=device_data,
                 )
+            if eval_results is not None:
                 self.history["eval"].append(
                     {"epoch": epoch, "step": self.global_step, **eval_results}
                 )
@@ -733,21 +742,49 @@ class Training:
         return self.eval_metrics.results()
 
     def _evaluate(
-        self, eval_steps: Optional[int], scan_k: int = 0,
+        self, source: str, eval_steps: Optional[int], scan_k: int = 0,
         prefer_device: bool = False,
-    ) -> dict:
-        if (
-            prefer_device
-            and self._val_arrays is not None
-            and eval_steps is not None
-            and eval_steps == -(-len(self._val_arrays[0]) // self.batch_size)
-        ):
-            # Device-resident training evaluates device-resident too when
-            # eval_steps asks for exactly one full pass.
-            return self._device_eval("val")
+    ) -> Optional[dict]:
+        """Mid-training evaluation on `source` ('val' or 'train' — the
+        reference supports and even defaults to evaluating on the training
+        set, training/training.py:477,605-612).
+
+        `eval_steps=None` defaults to one full pass when the example count
+        is known; with `prefer_device` (device-resident training) the full
+        pass runs as ONE dispatch through `_device_eval`.  Returns None when
+        the requested dataset isn't available (eval is skipped, matching the
+        previous no-val-data behavior)."""
+        arrays = self._val_arrays if source == "val" else self._train_arrays
+        if source == "val":
+            stream = self.val_dataset
+            n = self._num_val_examples
+            full_pass = None if n is None else -(-n // self.batch_size)
+        else:
+            stream = self.train_dataset
+            n = self._num_train_examples
+            # The training pipeline drops the remainder batch.
+            full_pass = None if n is None else max(1, n // self.batch_size)
+        if stream is None and arrays is None:
+            return None
         if eval_steps is None:
-            raise ValueError("eval_steps must be provided for a repeated dataset.")
-        return self._run_eval(self._val_iter, eval_steps, scan_k)
+            eval_steps = full_pass  # still None when the count is unknown
+        if prefer_device and arrays is not None:
+            device_full = -(-len(arrays[0]) // self.batch_size)
+            if eval_steps is None or eval_steps == device_full:
+                # Device-resident training evaluates device-resident too:
+                # the full pass is one dispatch (`make_device_eval`).
+                return self._device_eval(source)
+        if eval_steps is None:
+            raise ValueError(
+                "eval_steps is required when the dataset was passed as a "
+                "pipeline object (example count unknown)."
+            )
+        # 'val' reuses the persistent repeating val iterator; 'train' gets a
+        # FRESH stream so evaluation never consumes (skips) training batches
+        # from the live iterator — the wart the reference's shared feedable
+        # handle had (see `evaluate` docstring).
+        iterator = self._val_iter if source == "val" else iter(stream)
+        return self._run_eval(iterator, eval_steps, scan_k)
 
     def evaluate(
         self,

@@ -29,8 +29,11 @@ from differential_equations_resnet_tpu.models.single_block_resnet import (
 )
 from differential_equations_resnet_tpu.ops.antisymmetric import (
     Antisym3x3Params,
+    AntisymKxKParams,
     materialize_3x3,
+    materialize_kxk,
     pack_3x3,
+    pack_kxk,
 )
 
 
@@ -163,6 +166,14 @@ def export_reference_weights(
                 out.append(
                     {"kernel": np.asarray(kernel), "bias": np.asarray(block.bias)}
                 )
+            elif isinstance(block, AntisymKxKParams):
+                kernel = materialize_kxk(
+                    block, config.kernel_size, gamma=config.gamma,
+                    antisymmetric=config.kernel_type == "antisymmetric",
+                )
+                out.append(
+                    {"kernel": np.asarray(kernel), "bias": np.asarray(block.bias)}
+                )
             else:
                 out.append(
                     {"kernel": np.asarray(block.kernel),
@@ -208,6 +219,11 @@ def import_reference_weights(
                 kernel, bias = take()
                 if isinstance(blocks, Antisym3x3Params):
                     layers.append(pack_3x3(kernel, bias))
+                elif isinstance(blocks, AntisymKxKParams):
+                    layers.append(pack_kxk(
+                        kernel, bias,
+                        antisymmetric=config.kernel_type == "antisymmetric",
+                    ))
                 else:
                     layers.append(ConvParams(kernel=kernel, bias=bias))
             new_sp["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)

@@ -170,6 +170,45 @@ def numpy_single_block_forward(params, x, config):
     return probs, logits
 
 
+def numpy_forward_from_reference_weights(weights, x, config):
+    """fp64 forward directly from a REFERENCE-FORMAT weights payload (the
+    list of {'kernel','bias'} dicts of `model_utils/weight_utils.py:23-39`:
+    stem, one dense (3,3,C,C) kernel per residual layer, head) — without
+    ever touching the repo's packed parameterization or import path.  This
+    is the independent side of the golden-fixture interop proof
+    (tests/test_golden_fixture.py): reference weights -> this oracle vs
+    reference weights -> `import_reference_weights` -> `model.apply`.
+
+    Scoped like `numpy_single_block_forward`: identity-only stages, Euler
+    blocks, no BatchNorm.  Returns (probs, logits)."""
+    assert not config.use_batch_norm and config.integrator == "euler"
+    x = np.asarray(x, np.float64)
+    if config.subtract_mean is not None:
+        x = x - np.float64(config.subtract_mean)
+    if config.divide_by_stddev is not None:
+        x = x / np.float64(config.divide_by_stddev)
+
+    it = iter(weights)
+    stem = next(it)
+    x = numpy_conv2d_same(
+        x, stem["kernel"], strides=tuple(config.strides[0]), bias=stem["bias"]
+    )
+    x = np.maximum(x, 0.0)
+    num_layers = sum(config.blocks_per_stage[: config.num_stages - 1])
+    for _ in range(num_layers):
+        layer = next(it)
+        z = numpy_conv2d_same(x, layer["kernel"], bias=layer["bias"])
+        x = x + config.h * np.maximum(z, 0.0)
+    x = x.mean(axis=(1, 2))
+    head = next(it)
+    logits = x @ np.asarray(head["kernel"], np.float64) + np.asarray(
+        head["bias"], np.float64
+    )
+    shifted = logits - logits.max(axis=-1, keepdims=True)
+    probs = np.exp(shifted) / np.exp(shifted).sum(axis=-1, keepdims=True)
+    return probs, logits
+
+
 def numpy_softmax_ce(logits, labels):
     """Mean categorical cross-entropy from logits, integer labels, fp64."""
     logits = np.asarray(logits, np.float64)

@@ -352,3 +352,48 @@ def test_dense_telemetry_free_size_matches_packed():
     assert _per_layer_free_size({"conv2": d}, stacked=False) == 4 * 12 + 9 * (
         12 * 11 // 2
     )
+
+
+def test_kxk_stacked_materialization_matches_per_layer():
+    """materialize_kxk passes leading stacked-layer dims through: one bulk
+    scatter over (L, ...) must equal the per-layer materialization."""
+    for kernel_size, antisymmetric in ((3, True), (5, False)):
+        keys = jax.random.split(jax.random.key(20), 4)
+        per_layer = [
+            init_antisym_kxk(k, kernel_size, 6, antisymmetric=antisymmetric)
+            for k in keys
+        ]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+        bulk = materialize_kxk(
+            stacked, kernel_size, gamma=0.37, antisymmetric=antisymmetric
+        )
+        assert bulk.shape == (4, kernel_size, kernel_size, 6, 6)
+        for layer in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(bulk[layer]),
+                np.asarray(
+                    materialize_kxk(
+                        per_layer[layer], kernel_size, gamma=0.37,
+                        antisymmetric=antisymmetric,
+                    )
+                ),
+            )
+
+
+def test_pack_kxk_roundtrip():
+    """pack_kxk inverts materialize_kxk (exactly, including the trainable
+    center in centrosymmetric mode)."""
+    from differential_equations_resnet_tpu.ops.antisymmetric import pack_kxk
+
+    for kernel_size, antisymmetric in ((3, True), (3, False), (5, False)):
+        params = init_antisym_kxk(
+            jax.random.key(21), kernel_size, 5, antisymmetric=antisymmetric
+        )
+        kernel = materialize_kxk(
+            params, kernel_size, gamma=0.11, antisymmetric=antisymmetric
+        )
+        packed = pack_kxk(kernel, params.bias, antisymmetric=antisymmetric)
+        np.testing.assert_array_equal(np.asarray(packed.diag),
+                                      np.asarray(params.diag))
+        np.testing.assert_array_equal(np.asarray(packed.cross),
+                                      np.asarray(params.cross))

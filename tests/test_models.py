@@ -369,3 +369,116 @@ def test_euler_relu_step_rejects_none_bias():
     k = jnp.ones((3, 3, 2, 2))
     with pytest.raises(ValueError, match="bias"):
         euler_relu_step(y, k, None, 0.1)
+
+
+def test_centrosymmetric_model_matches_regular_on_materialized_kernels():
+    """kernel_type='centrosymmetric' (the reference general layer's
+    antisymmetric=False mode, layers/tfkeras_layer_Conv2DAntisymmetric.py:67)
+    must produce the same forward as a 'regular' model loaded with the
+    materialized dense kernels — proving both the dense path and the
+    reference-format export/import for the k x k family."""
+    import dataclasses
+
+    from differential_equations_resnet_tpu.utils.weight_utils import (
+        export_reference_weights,
+        import_reference_weights,
+    )
+
+    for kernel_size in (3, 5):
+        cfg_c = SingleBlockResNetConfig(
+            image_shape=(8, 8, 3),
+            kernel_type="centrosymmetric",
+            kernel_size=kernel_size,
+            h=0.25,
+            num_stages=2,
+            blocks_per_stage=(3,),
+            filters_per_block=(6,),
+            strides=((1, 1),),
+            num_classes=5,
+        )
+        model_c = build_single_block_resnet(cfg_c)
+        params, state = model_c.init(jax.random.key(0))
+        weights = export_reference_weights(params, cfg_c)
+
+        cfg_r = dataclasses.replace(cfg_c, kernel_type="regular")
+        model_r = build_single_block_resnet(cfg_r)
+        params_r, state_r = model_r.init(jax.random.key(1))
+        params_r = import_reference_weights(weights, params_r, cfg_r)
+
+        x = jnp.asarray(
+            np.random.default_rng(2).uniform(0, 255, (2, 8, 8, 3)), jnp.float32
+        )
+        out_c, _ = model_c.apply(params, state, x, return_logits=True)
+        out_r, _ = model_r.apply(params_r, state_r, x, return_logits=True)
+        np.testing.assert_allclose(
+            np.asarray(out_c), np.asarray(out_r), rtol=1e-5, atol=1e-6
+        )
+
+        # Round-trip: importing the exported dense kernels back into the
+        # centrosymmetric model reproduces the packed params exactly.
+        params_back = import_reference_weights(weights, params, cfg_c)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_centrosymmetric_kernel_properties_through_model():
+    """The materialized kernels of a centrosymmetric model satisfy the
+    reference constraints: diagonal blocks are centrosymmetric
+    (K = rot180(K), trainable center), cross pairs are the negated
+    180-degree rotations of each other."""
+    from differential_equations_resnet_tpu.ops.antisymmetric import (
+        materialize_kxk,
+    )
+
+    cfg = SingleBlockResNetConfig(
+        image_shape=(8, 8, 3),
+        kernel_type="centrosymmetric",
+        kernel_size=3,
+        h=0.25,
+        num_stages=2,
+        blocks_per_stage=(2,),
+        filters_per_block=(5,),
+        strides=((1, 1),),
+        num_classes=4,
+    )
+    model = build_single_block_resnet(cfg)
+    params, _ = model.init(jax.random.key(3))
+    blocks = params["stages"][0]["blocks"]
+    kernels = np.asarray(materialize_kxk(blocks, 3, antisymmetric=False))
+    for layer in range(kernels.shape[0]):
+        k = kernels[layer]
+        for i in range(5):
+            np.testing.assert_array_equal(k[:, :, i, i],
+                                          k[::-1, ::-1, i, i])
+            for j in range(i + 1, 5):
+                np.testing.assert_array_equal(k[:, :, j, i],
+                                              -k[::-1, ::-1, i, j])
+
+
+def test_centrosymmetric_train_step_and_telemetry():
+    """Full train step on the centrosymmetric model: finite loss/grads and
+    gradient-norm telemetry width matching gradient_metric_names."""
+    from differential_equations_resnet_tpu.train import (
+        create_train_state,
+        gradient_metric_names,
+        make_adam,
+        make_train_step,
+    )
+
+    model = build_single_block_resnet(
+        cifar10_single_block_config(
+            num_layers=3, num_filters=8, kernel_type="centrosymmetric"
+        )
+    )
+    tx = make_adam()
+    state = create_train_state(model, jax.random.key(0), tx)
+    step = make_train_step(model, tx, donate=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (4, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, (4,)))
+    new_state, metrics, grad_norms = step(state, x, y, 1e-3)
+    assert np.isfinite(float(metrics["loss"]))
+    names = gradient_metric_names(model.config)
+    assert grad_norms.shape == (len(names),)
+    assert np.all(np.isfinite(np.asarray(grad_norms)))
+    assert np.all(np.asarray(grad_norms)[1:] > 0)
