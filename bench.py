@@ -16,7 +16,16 @@ timing overstates throughput):
   - the timed region ends by FETCHING the final step's loss, which
     transitively depends on every step, proving all K*M steps executed.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Beyond the headline steps/s multiple, the output carries absolute-utilization
+accounting (VERDICT r2 tasks 1/7): nominal model FLOPs/step
+(`utils/flops.py` — NOT the s2d-packed implementation FLOPs), img/s, achieved
+model TFLOPS, MFU against the v5e 197-TFLOPS bf16 peak, and the fraction of
+the documented practical single-chip floor (docs/RESULTS.md roofline:
+~2.4 ms/step for the b=32 packed step), plus a `large_batch` section
+measuring the b=128 direct-layout device-resident frontier (the 2.4x img/s
+lever over b=32; docs/RESULTS.md section 2b).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -26,12 +35,55 @@ import numpy as np
 
 
 BASELINE_STEPS_PER_SEC = 1.46  # v6 notebook cell 9: antisymmetric 64Lx16F, batch 32.
+# Documented practical single-chip floor for the b=32 packed train step
+# (docs/RESULTS.md round-2 roofline: ~2.4 ms = MXU-bound matmul work +
+# overlapped HBM-bound residual/cotangent traffic).
+PRACTICAL_FLOOR_STEPS_PER_SEC = 1000.0 / 2.4
 
 
-def main() -> None:
+def _measure_device_epoch(model, tx, batch_size, scan_k, measure_chunks,
+                          images, labels, seed0):
+    """steps/s of the device-resident epoch trainer at `batch_size` (value-
+    fetch synced; one warmup dispatch covers compile + cache warm)."""
     import jax
     import jax.numpy as jnp
 
+    from differential_equations_resnet_tpu.train import (
+        create_train_state,
+        make_adam,
+    )
+    from differential_equations_resnet_tpu.train.train_step import (
+        make_device_epoch,
+    )
+
+    state = create_train_state(model, jax.random.key(0), tx)
+    epoch_step = make_device_epoch(model, tx, batch_size, donate=True)
+
+    n = scan_k * batch_size
+    reps = -(-n // len(images))
+    xs = np.concatenate([images] * reps)[:n] if reps > 1 else images[:n]
+    ys = np.concatenate([labels] * reps)[:n] if reps > 1 else labels[:n]
+    xs = jax.device_put(np.ascontiguousarray(xs))
+    ys = jax.device_put(np.ascontiguousarray(ys))
+    lrs = jax.device_put(jnp.full((scan_k,), 1e-3, jnp.float32))
+
+    # Warmup: compile + one full epoch, synced by a value fetch.
+    state, metrics, _ = epoch_step(state, xs, ys, jax.random.key(seed0), lrs)
+    _ = float(metrics["loss"][-1])
+
+    start = time.perf_counter()
+    for i in range(measure_chunks):
+        state, metrics, _ = epoch_step(
+            state, xs, ys, jax.random.key(seed0 + i + 1), lrs
+        )
+    final_loss = float(metrics["loss"][-1])  # true device-completion sync
+    elapsed = time.perf_counter() - start
+
+    assert np.isfinite(final_loss)
+    return measure_chunks * scan_k / elapsed
+
+
+def main() -> None:
     from differential_equations_resnet_tpu.utils.compile_cache import (
         enable_compile_cache,
     )
@@ -47,49 +99,38 @@ def main() -> None:
         build_single_block_resnet,
         cifar10_single_block_config,
     )
-    from differential_equations_resnet_tpu.train import (
-        create_train_state,
-        make_adam,
-    )
-    from differential_equations_resnet_tpu.train.train_step import (
-        make_device_epoch,
+    from differential_equations_resnet_tpu.train import make_adam
+    from differential_equations_resnet_tpu.utils.flops import (
+        PEAK_FLOPS,
+        mfu,
+        single_block_train_flops,
     )
 
-    batch_size = 32
-    scan_k = 500          # steps per timed dispatch (device-resident epoch)
-    measure_chunks = 2    # timed dispatches -> 1000 measured steps
-
-    model = build_single_block_resnet(cifar10_single_block_config())
+    config = cifar10_single_block_config()
+    model = build_single_block_resnet(config)
     tx = make_adam()
-    state = create_train_state(model, jax.random.key(0), tx)
-    # Device-resident epoch trainer: the dataset lives on device (uint8) and
-    # each dispatch covers the per-epoch shuffle, every batch gather, all
-    # scan_k train steps, and the stacked telemetry — true end-to-end
-    # per-step cost with zero host involvement (make_device_epoch docstring).
-    epoch_step = make_device_epoch(model, tx, batch_size, donate=True)
 
     cifar_dir = find_cifar10_directory()
     if cifar_dir:
         images, labels, *_ = build_cifar10_dataset(cifar_dir)
     else:
-        images, labels, *_ = synthetic_cifar10(scan_k * batch_size, 8, seed=0)
+        images, labels, *_ = synthetic_cifar10(32000, 8, seed=0)
 
-    xs = jax.device_put(np.ascontiguousarray(images[: scan_k * batch_size]))
-    ys = jax.device_put(np.ascontiguousarray(labels[: scan_k * batch_size]))
-    lrs = jax.device_put(jnp.full((scan_k,), 1e-3, jnp.float32))
+    # Headline: the reference's exact configuration (batch 32).
+    batch_size, scan_k, measure_chunks = 32, 500, 2
+    steps_per_sec = _measure_device_epoch(
+        model, tx, batch_size, scan_k, measure_chunks, images, labels, seed0=0
+    )
+    flops_step = single_block_train_flops(config, batch_size)
 
-    # Warmup: compile + one full epoch, synced by a value fetch.
-    state, metrics, _ = epoch_step(state, xs, ys, jax.random.key(0), lrs)
-    _ = float(metrics["loss"][-1])
+    # Large-batch frontier: b=128, direct layout (the mesh-aware row gate
+    # declines s2d packing above 32768 rows/device automatically).
+    lb_batch, lb_scan_k, lb_chunks = 128, 250, 2
+    lb_steps_per_sec = _measure_device_epoch(
+        model, tx, lb_batch, lb_scan_k, lb_chunks, images, labels, seed0=100
+    )
+    lb_flops_step = single_block_train_flops(config, lb_batch)
 
-    start = time.perf_counter()
-    for i in range(measure_chunks):
-        state, metrics, _ = epoch_step(state, xs, ys, jax.random.key(i + 1), lrs)
-    final_loss = float(metrics["loss"][-1])  # true device-completion sync
-    elapsed = time.perf_counter() - start
-
-    assert np.isfinite(final_loss)
-    steps_per_sec = measure_chunks * scan_k / elapsed
     print(
         json.dumps(
             {
@@ -97,6 +138,25 @@ def main() -> None:
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+                "img_per_sec": round(steps_per_sec * batch_size, 1),
+                "model_flops_per_step": flops_step,
+                "model_tflops": round(flops_step * steps_per_sec / 1e12, 2),
+                "mfu_vs_bf16_peak": round(mfu(flops_step, steps_per_sec), 4),
+                "peak_flops_ref": "tpu_v5e_bf16=197e12",
+                "pct_of_practical_floor": round(
+                    steps_per_sec / PRACTICAL_FLOOR_STEPS_PER_SEC, 3
+                ),
+                "large_batch": {
+                    "batch": lb_batch,
+                    "steps_per_sec": round(lb_steps_per_sec, 3),
+                    "img_per_sec": round(lb_steps_per_sec * lb_batch, 1),
+                    "model_tflops": round(
+                        lb_flops_step * lb_steps_per_sec / 1e12, 2
+                    ),
+                    "mfu_vs_bf16_peak": round(
+                        mfu(lb_flops_step, lb_steps_per_sec), 4
+                    ),
+                },
             }
         )
     )
