@@ -649,7 +649,25 @@ def build_single_block_resnet(config=None, **kwargs) -> SingleBlockResNet:
         config = SingleBlockResNetConfig(**kwargs)
     elif kwargs:
         raise TypeError("Pass either a config object or keyword arguments, not both.")
-    return SingleBlockResNet(config)
+    return _shared_model(config)
+
+
+def _shared_model(config) -> SingleBlockResNet:
+    # Model wrappers are stateless (config only), so equal configs share one
+    # object — which makes the memoized step builders
+    # (train/train_step.py `make_*`) hit for equal configurations and the
+    # XLA executables compile once per process.  Configs carrying unhashable
+    # fields (e.g. an ndarray subtract_mean) fall back to a fresh wrapper.
+    try:
+        cached = _MODEL_CACHE.get(config)
+    except TypeError:
+        return SingleBlockResNet(config)
+    if cached is None:
+        cached = _MODEL_CACHE[config] = SingleBlockResNet(config)
+    return cached
+
+
+_MODEL_CACHE: dict = {}
 
 
 def get_single_block_resnet_build_function(**kwargs):

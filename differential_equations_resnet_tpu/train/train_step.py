@@ -10,10 +10,19 @@ per-layer gradient mean norms, all in one XLA executable.
 Data parallelism: pass a `Mesh` — the batch is sharded over the 'data' axis,
 parameters/optimizer state are replicated, and XLA inserts the gradient psum
 over ICI (the scaling-book recipe; the reference is single-device only).
+
+Every `make_*` builder is memoized on its (hashable, identity-keyed)
+arguments: asking twice for the step of the SAME model/tx/mesh returns the
+same jitted callable, so the XLA executable compiles once per configuration
+per process instead of once per `Training` instance.  Jitted functions are
+stateless, and donation is a per-call property of the wrapper, so sharing is
+semantically invisible; distinct model or optimizer OBJECTS still get
+distinct entries (the cache never conflates by value).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -31,10 +40,17 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+@functools.lru_cache(maxsize=64)
 def make_adam(learning_rate: float = 1e-3, epsilon: float = 1e-7):
     """Adam with the reference's hyperparameters (v7 notebook cell 5:
     tf.train.AdamOptimizer(lr, epsilon=1e-07)), with the learning rate
-    injected so the schedule can change it every step without recompiling."""
+    injected so the schedule can change it every step without recompiling.
+
+    Memoized by hyperparameters: optax transforms are pure (init/update
+    functions; all state lives in the caller's opt_state), so equal
+    hyperparameters share one transform object — which in turn lets the
+    memoized step builders share compiled executables across `Training`
+    instances of the same configuration."""
     return optax.inject_hyperparams(optax.adam)(
         learning_rate=learning_rate, eps=epsilon
     )
@@ -162,6 +178,7 @@ def _build_step_fn(model, tx, with_gradient_metrics: bool = True):
     return step_fn
 
 
+@functools.lru_cache(maxsize=64)
 def make_train_step(
     model,
     tx,
@@ -190,6 +207,7 @@ def make_train_step(
     )
 
 
+@functools.lru_cache(maxsize=64)
 def make_multi_step(
     model,
     tx,
@@ -240,6 +258,7 @@ def make_multi_step(
     )
 
 
+@functools.lru_cache(maxsize=64)
 def make_device_epoch(
     model,
     tx,
@@ -356,6 +375,7 @@ def _make_eval_fn(model):
     return step_fn
 
 
+@functools.lru_cache(maxsize=64)
 def make_eval_step(model, mesh: Optional[Mesh] = None):
     """(params, model_state, images, labels) -> metrics dict (loss = plain
     softmax CE with no regularization penalty, correct count, count) — the
@@ -375,6 +395,7 @@ def make_eval_step(model, mesh: Optional[Mesh] = None):
     )
 
 
+@functools.lru_cache(maxsize=64)
 def make_multi_eval_step(model, mesh: Optional[Mesh] = None, unroll: int = 1):
     """K-batch evaluation in one dispatch:
     (params, model_state, images (K,B,...), labels (K,B)) -> metrics {(K,)}.
@@ -403,6 +424,7 @@ def make_multi_eval_step(model, mesh: Optional[Mesh] = None, unroll: int = 1):
     )
 
 
+@functools.lru_cache(maxsize=64)
 def make_device_eval(model, batch_size: int, mesh: Optional[Mesh] = None):
     """Full-pass evaluation over a DEVICE-RESIDENT dataset in one dispatch:
 
@@ -471,6 +493,7 @@ def make_device_eval(model, batch_size: int, mesh: Optional[Mesh] = None):
     )
 
 
+@functools.lru_cache(maxsize=64)
 def make_predict_step(model, mesh: Optional[Mesh] = None):
     """(params, model_state, images) -> model output (softmax probabilities,
     matching the reference predictor's input, `training/training.py:306-314`)."""

@@ -6,6 +6,7 @@ import gzip
 import struct
 
 import numpy as np
+import pytest
 
 from differential_equations_resnet_tpu.data.mnist import (
     build_mnist_dataset,
@@ -54,6 +55,7 @@ def test_idx_loader_roundtrip(tmp_path):
     assert names == [str(i) for i in range(10)]
 
 
+@pytest.mark.slow
 def test_mnist_smoke_fit_evaluate_predict():
     """The nb cells 8-11 workflow end-to-end on synthetic MNIST: one short
     fit must beat chance on the (linearly separable) synthetic classes, and

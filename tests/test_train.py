@@ -30,15 +30,28 @@ from differential_equations_resnet_tpu.train import (
 )
 
 
+_MODEL_CACHE: dict = {}
+# One optimizer object for every default-config trainer in the module: with
+# a shared (model, tx) pair, the memoized step builders
+# (train_step.make_train_step & co.) return the SAME jitted callables, so
+# the XLA executables compile once for the whole session instead of once
+# per test — the session-scoped-compiled-fixture pattern.
+_SHARED_TX = make_adam()
+
+
 def tiny_model(num_layers=4, num_filters=8, **kw):
-    return build_single_block_resnet(
-        cifar10_single_block_config(
-            num_layers=num_layers, num_filters=num_filters, **kw
+    key = (num_layers, num_filters, tuple(sorted(kw.items())))
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = build_single_block_resnet(
+            cifar10_single_block_config(
+                num_layers=num_layers, num_filters=num_filters, **kw
+            )
         )
-    )
+    return _MODEL_CACHE[key]
 
 
 def make_trainer(tmp_path, num_layers=4, **kw):
+    kw.setdefault("optimizer", _SHARED_TX)
     model = tiny_model(num_layers)
     train_x, train_y, test_x, test_y, _ = synthetic_cifar10(256, 64, seed=0)
     return Training(
@@ -76,17 +89,17 @@ def test_schedules():
 def test_smoke_training_reduces_loss(tmp_path):
     trainer = make_trainer(tmp_path)
     history = trainer.train(
-        epochs=3,
+        epochs=2,
         steps_per_epoch=8,
         learning_rate_schedule=lambda step: 1e-3,
         eval_steps=2,
         summaries_frequency=2,
         verbose=False,
     )
-    assert trainer.global_step == 24
+    assert trainer.global_step == 16
     losses = [h["mean_loss"] for h in history["train"]]
     assert losses[-1] < losses[0]
-    assert len(history["eval"]) == 3
+    assert len(history["eval"]) == 2
 
     # CSV telemetry round-trips through TrainingHistory with the reference's
     # column layout and diagnostics.
@@ -108,7 +121,7 @@ def test_smoke_training_reduces_loss(tmp_path):
     assert np.isfinite(std)
     ratio = th.gradient_norm_relative_comparison(step_bounds=(None, None, 1))
     assert np.isfinite(ratio) and ratio > 0
-    assert len(th.evaluation_steps) == 3
+    assert len(th.evaluation_steps) == 2
     trainer.close()
 
 

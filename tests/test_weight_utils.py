@@ -114,8 +114,14 @@ def test_convert_antisym_layout_roundtrip():
         "resnet50", num_classes=10, image_shape=(32, 32, 3),
         antisymmetric_mid=True,
     )
+    # Shrink widths 8x: the conversion logic is width-independent and the
+    # full preset's init dominates the test's wall time.
+    filters = tuple(
+        (f0 // 8, None, f2 // 8) for (f0, _, f2) in base.filters_per_block
+    )
     cfg = BottleneckResNetConfig(
-        **{**base.__dict__, "blocks_per_stage": (2, 1, 1, 1)}
+        **{**base.__dict__, "blocks_per_stage": (2, 1, 1, 1),
+           "filters_per_block": filters}
     )
     model = build_resnet(cfg)
     params, _ = model.init(jax.random.key(0))
