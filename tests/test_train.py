@@ -710,3 +710,27 @@ def test_checkpoint_layout_mismatch_names_converter(tmp_path):
     dense_state = convert_antisym_layout(state, to="dense")
     with pytest.raises(ValueError, match="convert_antisym_layout"):
         ckpt.restore(dense_state)
+
+
+def test_step_builders_memoized_by_identity():
+    """Equal (model, tx, mesh) share one jitted step (one XLA compile per
+    configuration per process); distinct models or optimizers do not."""
+    model_a = tiny_model(2)
+    model_b = build_single_block_resnet(
+        cifar10_single_block_config(num_layers=2, num_filters=8)
+    )
+    # Equal configs share the model wrapper itself (build value cache)...
+    assert model_b is model_a
+    tx = make_adam()
+    assert make_adam() is tx  # ...and equal hyperparameters share the tx.
+    step1 = make_train_step(model_a, tx, donate=False)
+    step2 = make_train_step(model_b, make_adam(), donate=False)
+    assert step2 is step1
+    # Different donation / metrics flags, models, or tx objects miss.
+    assert make_train_step(model_a, tx, donate=True) is not step1
+    other_model = build_single_block_resnet(
+        cifar10_single_block_config(num_layers=3, num_filters=8)
+    )
+    assert make_train_step(other_model, tx, donate=False) is not step1
+    other_tx = make_adam(learning_rate=5e-4)
+    assert make_train_step(model_a, other_tx, donate=False) is not step1
