@@ -180,3 +180,19 @@ def l2_kernel_penalty(params, weight: float) -> jax.Array:
     if not leaves:
         return jnp.zeros((), jnp.float32)
     return weight * sum(jnp.sum(jnp.square(leaf.astype(jnp.float32))) for leaf in leaves)
+
+def cached_model(cache: dict, config, ctor):
+    """Value-keyed model-wrapper cache with an unhashable-config fallback.
+
+    Model wrappers are stateless (config only), so equal configs can share
+    one object — which makes the memoized step builders
+    (train/train_step.py `make_*`) hit for equal configurations and the XLA
+    executables compile once per process.  Configs carrying unhashable
+    fields (e.g. an ndarray subtract_mean) fall back to a fresh wrapper."""
+    try:
+        cached = cache.get(config)
+    except TypeError:
+        return ctor(config)
+    if cached is None:
+        cached = cache[config] = ctor(config)
+    return cached

@@ -337,16 +337,9 @@ def build_resnet(config=None, **kwargs) -> BottleneckResNet:
         config = BottleneckResNetConfig(**kwargs)
     elif kwargs:
         raise TypeError("Pass either a config object or keyword arguments, not both.")
-    # Equal configs share one stateless wrapper so the memoized step
-    # builders reuse compiled executables (see single_block_resnet's
-    # _shared_model note); unhashable configs fall back to fresh objects.
-    try:
-        cached = _MODEL_CACHE.get(config)
-    except TypeError:
-        return BottleneckResNet(config)
-    if cached is None:
-        cached = _MODEL_CACHE[config] = BottleneckResNet(config)
-    return cached
+    from differential_equations_resnet_tpu.models.blocks import cached_model
+
+    return cached_model(_MODEL_CACHE, config, BottleneckResNet)
 
 
 _MODEL_CACHE: dict = {}

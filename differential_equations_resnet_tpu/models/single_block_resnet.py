@@ -437,7 +437,8 @@ def _s2d_eligible(config, x) -> bool:
     b = config.s2d_block
     rows = x.shape[0] * x.shape[1] * x.shape[2]
     rows //= max(int(getattr(config, "data_axis_size", 1)), 1)
-    max_rows = getattr(config, "s2d_max_rows", None) or _S2D_MAX_ROWS
+    override = getattr(config, "s2d_max_rows", None)
+    max_rows = _S2D_MAX_ROWS if override is None else override
     return (
         b > 1
         and config.kernel_size == 3
@@ -649,22 +650,9 @@ def build_single_block_resnet(config=None, **kwargs) -> SingleBlockResNet:
         config = SingleBlockResNetConfig(**kwargs)
     elif kwargs:
         raise TypeError("Pass either a config object or keyword arguments, not both.")
-    return _shared_model(config)
+    from differential_equations_resnet_tpu.models.blocks import cached_model
 
-
-def _shared_model(config) -> SingleBlockResNet:
-    # Model wrappers are stateless (config only), so equal configs share one
-    # object — which makes the memoized step builders
-    # (train/train_step.py `make_*`) hit for equal configurations and the
-    # XLA executables compile once per process.  Configs carrying unhashable
-    # fields (e.g. an ndarray subtract_mean) fall back to a fresh wrapper.
-    try:
-        cached = _MODEL_CACHE.get(config)
-    except TypeError:
-        return SingleBlockResNet(config)
-    if cached is None:
-        cached = _MODEL_CACHE[config] = SingleBlockResNet(config)
-    return cached
+    return cached_model(_MODEL_CACHE, config, SingleBlockResNet)
 
 
 _MODEL_CACHE: dict = {}

@@ -140,7 +140,7 @@ def pipeline_blocks_apply(
     )
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _pipelined_fn(mesh: Mesh, axis_name: str, m: int, h: float, batch_spec: P):
     """The compiled pipeline executable, cached on its static configuration.
 

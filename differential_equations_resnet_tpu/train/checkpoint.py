@@ -34,7 +34,10 @@ def _layout_hint(saved_treedef: str, target_treedef: str) -> str:
              "Antisym3x3DenseParams" in saved_treedef)
     target = ("Antisym3x3Params" in target_treedef,
               "Antisym3x3DenseParams" in target_treedef)
-    if saved != target and (any(saved) or any(target)):
+    # Only the exact packed<->dense swap gets the hint: any other mismatch
+    # (e.g. a regular-conv checkpoint into an antisym target) is a genuinely
+    # different model and the converter would not apply.
+    if {saved, target} == {(True, False), (False, True)}:
         return (
             "\nThe structures differ in the antisymmetric-conv parameter "
             "layout (packed Antisym3x3Params vs dense-lower "

@@ -668,6 +668,10 @@ class Training:
         """Evaluate num_steps batches; with scan_k > 1, K batches per dispatch
         through `make_multi_eval_step` (ragged final batches fall back to the
         single-batch path)."""
+        if num_steps < 1:
+            # Evaluating zero batches would return fake 0.0 metrics (and
+            # corrupt best-metric checkpoint gating downstream).
+            raise ValueError(f"num_steps must be >= 1, got {num_steps}.")
         self.eval_metrics.reset()
         done = 0
         while done < num_steps:
@@ -766,14 +770,18 @@ class Training:
             full_pass = None if n is None else max(1, n // self.batch_size)
         if stream is None and arrays is None:
             return None
-        if eval_steps is None:
-            eval_steps = full_pass  # still None when the count is unknown
+        if eval_steps is not None and eval_steps < 1:
+            raise ValueError(f"eval_steps must be >= 1, got {eval_steps}.")
         if prefer_device and arrays is not None:
+            # The device pass covers ALL examples (ragged tail masked), so it
+            # serves both an explicit ceil(N/batch) request and the default
+            # eval_steps=None — checked BEFORE the streaming-path default
+            # below, which floors for the remainder-dropping train stream.
             device_full = -(-len(arrays[0]) // self.batch_size)
             if eval_steps is None or eval_steps == device_full:
-                # Device-resident training evaluates device-resident too:
-                # the full pass is one dispatch (`make_device_eval`).
                 return self._device_eval(source)
+        if eval_steps is None:
+            eval_steps = full_pass  # still None when the count is unknown
         if eval_steps is None:
             raise ValueError(
                 "eval_steps is required when the dataset was passed as a "

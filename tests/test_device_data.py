@@ -26,22 +26,16 @@ def _data(n=256, hw=8, seed=0):
     return x, y
 
 
-_MODEL_CACHE: dict = {}
-# Shared per-shape model objects + one optimizer: with identical (model, tx)
-# the memoized step builders return the same compiled executables across
-# tests (see train_step module docstring).
-_SHARED_TX = make_adam()
-
-
 def _model(hw=8):
-    if hw not in _MODEL_CACHE:
-        import dataclasses
+    # Equal configs share one wrapper via build_single_block_resnet's value
+    # cache, and make_adam() is memoized — so the step builders reuse
+    # compiled executables across tests with no local cache.
+    import dataclasses
 
-        cfg = cifar10_single_block_config(num_layers=4, num_filters=8)
-        _MODEL_CACHE[hw] = build_single_block_resnet(
-            dataclasses.replace(cfg, image_shape=(hw, hw, 3))
-        )
-    return _MODEL_CACHE[hw]
+    cfg = cifar10_single_block_config(num_layers=4, num_filters=8)
+    return build_single_block_resnet(
+        dataclasses.replace(cfg, image_shape=(hw, hw, 3))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -54,7 +48,7 @@ def test_device_epoch_matches_manual_loop():
     permutation and keys (identical gather order, identical numerics)."""
     x, y = _data()
     model = _model()
-    tx = _SHARED_TX
+    tx = make_adam()
     batch, steps = 16, 9
     lrs = jnp.asarray([1e-3 * (0.9 ** i) for i in range(steps)], jnp.float32)
     key = jax.random.key(42)
@@ -93,7 +87,7 @@ def test_device_epoch_with_augment_runs_and_differs():
     shapes/telemetry intact and is reproducible for a fixed key."""
     x, y = _data()
     model = _model()
-    tx = _SHARED_TX
+    tx = make_adam()
     lrs = jnp.full((6,), 1e-3, jnp.float32)
     aug = jit_augment.standard_cifar_augment(crop_padding=2)
 
@@ -263,7 +257,7 @@ def test_device_epoch_on_dp_mesh_matches_single_device():
 
     x, y = _data(n=128)
     model = _model()
-    tx = _SHARED_TX
+    tx = make_adam()
     lrs = jnp.full((6,), 1e-3, jnp.float32)
     key = jax.random.key(9)
 

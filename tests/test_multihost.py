@@ -21,7 +21,6 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_two_process_multihost_smoke():
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -30,28 +30,22 @@ from differential_equations_resnet_tpu.train import (
 )
 
 
-_MODEL_CACHE: dict = {}
-# One optimizer object for every default-config trainer in the module: with
-# a shared (model, tx) pair, the memoized step builders
-# (train_step.make_train_step & co.) return the SAME jitted callables, so
-# the XLA executables compile once for the whole session instead of once
-# per test — the session-scoped-compiled-fixture pattern.
-_SHARED_TX = make_adam()
+# Equal configs share one model wrapper (build_single_block_resnet's value
+# cache) and equal hyperparameters share one optax transform (make_adam's
+# memo), so the memoized step builders return the SAME jitted callables
+# across tests — the XLA executables compile once for the whole session
+# (the session-scoped-compiled-fixture pattern), with no test-local cache.
 
 
 def tiny_model(num_layers=4, num_filters=8, **kw):
-    key = (num_layers, num_filters, tuple(sorted(kw.items())))
-    if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = build_single_block_resnet(
-            cifar10_single_block_config(
-                num_layers=num_layers, num_filters=num_filters, **kw
-            )
+    return build_single_block_resnet(
+        cifar10_single_block_config(
+            num_layers=num_layers, num_filters=num_filters, **kw
         )
-    return _MODEL_CACHE[key]
+    )
 
 
 def make_trainer(tmp_path, num_layers=4, **kw):
-    kw.setdefault("optimizer", _SHARED_TX)
     model = tiny_model(num_layers)
     train_x, train_y, test_x, test_y, _ = synthetic_cifar10(256, 64, seed=0)
     return Training(
@@ -734,3 +728,47 @@ def test_step_builders_memoized_by_identity():
     assert make_train_step(other_model, tx, donate=False) is not step1
     other_tx = make_adam(learning_rate=5e-4)
     assert make_train_step(model_a, other_tx, donate=False) is not step1
+
+
+def test_train_device_eval_on_ragged_train_set(tmp_path):
+    """Regression (r3 review): with len(train) % batch != 0, the
+    device-resident train-set eval must still route through the one-dispatch
+    device path — the ceil/floor full-pass mismatch previously fell back to
+    per-batch host streaming silently."""
+    model = tiny_model(2)
+    train_x, train_y, test_x, test_y, _ = synthetic_cifar10(250, 64, seed=3)
+    trainer = Training(
+        model,
+        train_features=train_x, train_labels=train_y,
+        val_features=test_x, val_labels=test_y,
+        batch_size=32,
+        record_summaries=False,
+    )
+    trainer.train(
+        epochs=1,
+        steps_per_epoch=2,
+        learning_rate_schedule=constant_schedule(1e-3),
+        device_data=True,
+        eval_dataset="train",
+        verbose=False,
+    )
+    assert "train" in trainer._device_eval_fns  # 250 % 32 != 0
+    trainer.eval_metrics._drain()
+    assert trainer.eval_metrics._count == 250  # ragged tail masked, all seen
+
+
+def test_evaluate_rejects_zero_steps(tmp_path):
+    """Regression (r3 review): a zero-batch eval must raise instead of
+    returning fake 0.0 metrics that would corrupt best-metric gating."""
+    trainer = make_trainer(tmp_path)
+    with pytest.raises(ValueError, match="num_steps"):
+        trainer.evaluate("val", num_steps=0)
+    with pytest.raises(ValueError, match="eval_steps"):
+        trainer.train(
+            epochs=1,
+            steps_per_epoch=2,
+            learning_rate_schedule=constant_schedule(1e-3),
+            eval_steps=0,
+            verbose=False,
+        )
+    trainer.close()
