@@ -127,6 +127,35 @@ def numpy_dense_kernels_from_packed(blocks, gamma):
     return kernels
 
 
+def numpy_dense_kernels_from_kxk(blocks, kernel_size, gamma, antisymmetric):
+    """Stacked packed k x k (anti-)centrosymmetric params -> list of dense
+    fp64 (k, k, C, C) kernels, assembled through the reference's scalar
+    per-channel loop (`reference_centrosym_matrix`) and per-pair mirror
+    assignment — NOT through the repo's vectorized scatter.  The free-value
+    consumption order (i ascending, then j in range(i, k), trainable center
+    at its natural position in the centrosymmetric odd case) and the
+    cross-pair flattening (c_out ascending, then c_in ascending) are part of
+    the packed-representation contract, re-derived here independently."""
+    diag = np.asarray(blocks.diag, np.float64)    # (L, n_free, C)
+    cross = np.asarray(blocks.cross, np.float64)  # (L, k, k, P)
+    num_layers, _, channels = diag.shape
+    k = kernel_size
+    pairs = [(i, j) for j in range(channels) for i in range(j + 1, channels)]
+    kernels = []
+    for layer in range(num_layers):
+        kernel = np.zeros((k, k, channels, channels), np.float64)
+        for ch in range(channels):
+            kernel[:, :, ch, ch] = reference_centrosym_matrix(
+                diag[layer, :, ch], k, gamma, antisymmetric
+            )
+        for p, (c_in, c_out) in enumerate(pairs):
+            block = cross[layer, :, :, p]
+            kernel[:, :, c_in, c_out] = block
+            kernel[:, :, c_out, c_in] = -rot180(block)
+        kernels.append(kernel)
+    return kernels
+
+
 def numpy_single_block_forward(params, x, config):
     """Independent fp64 re-execution of the reference single-block forward:
     normalization -> stem conv + relu -> L x (y + h*relu(conv(y) + b)) ->
@@ -150,7 +179,13 @@ def numpy_single_block_forward(params, x, config):
     for sp in params["stages"]:
         assert "conv_main" not in sp, "oracle covers identity-only stages"
         blocks = sp["blocks"]
-        if hasattr(blocks, "cross"):  # packed antisymmetric
+        if hasattr(blocks, "diag"):  # general k x k packed (centrosymmetric)
+            kernels = numpy_dense_kernels_from_kxk(
+                blocks, config.kernel_size, config.gamma,
+                antisymmetric=config.kernel_type == "antisymmetric",
+            )
+            biases = np.asarray(blocks.bias, np.float64)
+        elif hasattr(blocks, "cross"):  # packed antisymmetric 3x3
             kernels = numpy_dense_kernels_from_packed(blocks, config.gamma)
             biases = np.asarray(blocks.bias, np.float64)
         else:  # regular stacked ConvParams

@@ -56,7 +56,8 @@ def _setup(config, batch=4, seed=0):
 
 @pytest.mark.parametrize(
     "kernel_type,gamma",
-    [("antisymmetric", 0.0), ("antisymmetric", 0.2), ("regular", 0.0)],
+    [("antisymmetric", 0.0), ("antisymmetric", 0.2), ("regular", 0.0),
+     ("centrosymmetric", 0.0)],
 )
 def test_whole_model_forward_matches_numpy_oracle(kernel_type, gamma):
     config = tiny_config(kernel_type, gamma)
@@ -86,7 +87,9 @@ def test_whole_model_forward_oracle_deeper_antisymmetric():
     np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=5e-5, atol=5e-5)
 
 
-@pytest.mark.parametrize("kernel_type", ["antisymmetric", "regular"])
+@pytest.mark.parametrize(
+    "kernel_type", ["antisymmetric", "regular", "centrosymmetric"]
+)
 def test_gradient_matches_finite_difference_of_oracle(kernel_type):
     """Directional derivatives of the fp64 oracle loss (central differences)
     must match <grad, v> from the JAX backward pass — an independent check of
@@ -123,3 +126,16 @@ def test_gradient_matches_finite_difference_of_oracle(kernel_type):
         # relu kinks make FD noisy only exactly at z=0 (measure-zero); the
         # fp32 backward is the dominant error term.
         np.testing.assert_allclose(analytic, fd, rtol=5e-3, atol=1e-7)
+
+
+def test_whole_model_forward_oracle_centrosymmetric_5x5():
+    """The general k x k path at kernel_size=5: whole-model fp64 oracle
+    parity (scalar-loop kernel assembly + 5x5 SAME conv, independent of the
+    repo's vectorized scatter and lax.conv)."""
+    config = tiny_config(kernel_type="centrosymmetric", kernel_size=5)
+    model, params, state, x, y = _setup(config, seed=4)
+    logits, _ = model.apply(params, state, x, return_logits=True)
+    params_np = jax.tree.map(np.asarray, params)
+    _, ref_logits = numpy_single_block_forward(params_np, x, config)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               rtol=5e-5, atol=5e-5)
