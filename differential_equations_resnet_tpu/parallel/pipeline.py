@@ -104,6 +104,7 @@ def pipeline_blocks_apply(
     axis_name: str = "pipe",
     num_microbatches: int | None = None,
     batch_spec: P = P(),
+    tp_axis: str | None = None,
 ) -> jax.Array:
     """Apply an L-layer Euler identity-block stack pipelined over
     ``mesh[axis_name]``.
@@ -111,8 +112,18 @@ def pipeline_blocks_apply(
     kernels: (L, 3, 3, C, C) dense (already materialized / s2d-packed)
         kernels; sharded along L over the pipe axis.
     biases:  (L, C), sharded along L.
-    x: (B, H, W, C) activations, replicated.
+    x: (B, H, W, C) activations, replicated (or batch-sharded per
+        ``batch_spec`` for the dp x pp composition).
     Returns (B, H, W, C), replicated (the last stage broadcasts its result).
+
+    ``tp_axis`` composes channel tensor parallelism INSIDE each pipeline
+    stage (tp x pp): kernels/biases are additionally sharded on c_out over
+    ``mesh[tp_axis]``, each TP shard convolves the full activations into its
+    own output-channel slice, and one `all_gather` per layer over the TP
+    axis reconstructs the full activations for the residual add — the
+    Megatron pattern, with the collective riding ICI inside each stage while
+    `ppermute` hands activations between stages.  Gradients need nothing
+    bespoke: `all_gather`'s transpose is `psum_scatter`.
 
     Semantics are identical to the single-device scan
     (`reference_euler_dense`); tested to fp32 tolerance in
@@ -125,6 +136,13 @@ def pipeline_blocks_apply(
             f"num_layers ({num_layers}) must divide evenly into "
             f"{n_stages} pipeline stages"
         )
+    if tp_axis is not None:
+        channels = kernels.shape[-1]
+        if channels % mesh.shape[tp_axis]:
+            raise ValueError(
+                f"channels ({channels}) must divide evenly over the "
+                f"{mesh.shape[tp_axis]}-way tensor-parallel axis {tp_axis!r}"
+            )
     batch = x.shape[0]
     # With a sharded batch_spec (dp x pp), the pipeline sees the per-shard
     # batch; validate against the local size shard_map will hand us.
@@ -135,13 +153,14 @@ def pipeline_blocks_apply(
     if batch % m:
         raise ValueError(f"batch ({batch}) must divide into {m} microbatches")
 
-    return _pipelined_fn(mesh, axis_name, m, float(h), batch_spec)(
+    return _pipelined_fn(mesh, axis_name, m, float(h), batch_spec, tp_axis)(
         kernels, biases, x
     )
 
 
 @functools.lru_cache(maxsize=64)
-def _pipelined_fn(mesh: Mesh, axis_name: str, m: int, h: float, batch_spec: P):
+def _pipelined_fn(mesh: Mesh, axis_name: str, m: int, h: float,
+                  batch_spec: P, tp_axis: str | None = None):
     """The compiled pipeline executable, cached on its static configuration.
 
     Without the cache, every EAGER call of `pipeline_blocks_apply` (i.e.
@@ -151,17 +170,35 @@ def _pipelined_fn(mesh: Mesh, axis_name: str, m: int, h: float, batch_spec: P):
     equally cheap after the first call."""
     from jax import shard_map
 
-    from differential_equations_resnet_tpu.ops.conv import euler_relu_step
+    from differential_equations_resnet_tpu.ops.conv import conv2d_same, euler_relu_step
 
-    def stage_fn(params, y):
-        ks, bs = params
+    if tp_axis is None:
+        def stage_fn(params, y):
+            ks, bs = params
 
-        def step(y, kb):
-            k, b = kb
-            return euler_relu_step(y, k, b, h), None
+            def step(y, kb):
+                k, b = kb
+                return euler_relu_step(y, k, b, h), None
 
-        y, _ = jax.lax.scan(step, y, (ks, bs))
-        return y
+            y, _ = jax.lax.scan(step, y, (ks, bs))
+            return y
+    else:
+        def stage_fn(params, y):
+            ks, bs = params
+
+            def step(y, kb):
+                k, b = kb
+                # Megatron conv-TP inside the stage: this shard produces its
+                # c_out slice from the FULL activations, then the slices are
+                # all-gathered (tiled on the channel axis) so the residual
+                # add and the next layer see full channels.  Backward through
+                # all_gather is psum_scatter — XLA handles it.
+                z_local = jax.nn.relu(conv2d_same(y, k, bias=b))
+                z = jax.lax.all_gather(z_local, tp_axis, axis=-1, tiled=True)
+                return y + h * z, None
+
+            y, _ = jax.lax.scan(step, y, (ks, bs))
+            return y
 
     def pipelined(kernels, biases, x):
         x_micro = x.reshape((m, x.shape[0] // m) + x.shape[1:])
@@ -174,11 +211,16 @@ def _pipelined_fn(mesh: Mesh, axis_name: str, m: int, h: float, batch_spec: P):
         outputs = jax.lax.psum(outputs, axis_name)
         return outputs.reshape(x.shape)
 
-    spec_layers = P(axis_name)
+    if tp_axis is None:
+        spec_kernels = spec_biases = P(axis_name)
+    else:
+        # Layers over the pipe axis AND c_out over the TP axis.
+        spec_kernels = P(axis_name, None, None, None, tp_axis)
+        spec_biases = P(axis_name, tp_axis)
     fn = shard_map(
         pipelined,
         mesh=mesh,
-        in_specs=(spec_layers, spec_layers, batch_spec),
+        in_specs=(spec_kernels, spec_biases, batch_spec),
         out_specs=batch_spec,
         check_vma=False,
     )

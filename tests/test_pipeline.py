@@ -140,3 +140,57 @@ def test_pipeline_composes_with_dp():
         batch_spec=P("data"),
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("spec", [
+    {"pipe": 4, "model": 2, "batch": None},   # tp x pp
+    {"pipe": 2, "model": 2, "batch": "data"},  # dp x tp x pp (3-axis)
+])
+def test_pipeline_tensor_parallel_composition(spec):
+    """tp x pp: channel TP inside each pipeline stage (per-layer all_gather
+    over the tp axis, Megatron-style) must match the single-device scan —
+    forward AND gradients — including the 3-axis dp x tp x pp composition
+    with the batch sharded over a 'data' axis."""
+    from jax.sharding import PartitionSpec as P
+
+    x, kernels, biases = _data(seed=7)
+    axes = [a for a in ("data", "pipe", "model")
+            if a == "pipe" or a == "model" or spec["batch"] == a]
+    sizes = {"pipe": spec["pipe"], "model": spec["model"], "data": 2}
+    names = tuple(a for a in ("data", "pipe", "model")
+                  if a in ("pipe", "model") or spec["batch"] == a)
+    shape = tuple(sizes[a] for a in names)
+    n = int(np.prod(shape))
+    mesh = Mesh(np.array(jax.devices()[:n]).reshape(shape), names)
+    batch_spec = P(spec["batch"]) if spec["batch"] else P()
+
+    ref_val = jnp.sum(reference_euler_dense(x, kernels, biases, h) ** 2)
+    ref_grads = jax.grad(
+        lambda k, b: jnp.sum(reference_euler_dense(x, k, b, h) ** 2),
+        argnums=(0, 1),
+    )(kernels, biases)
+
+    def loss(k, b):
+        y = pipeline_blocks_apply(
+            k, b, x, h, mesh, num_microbatches=2,
+            batch_spec=batch_spec, tp_axis="model",
+        )
+        return jnp.sum(y * y)
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1))(kernels, biases)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-4)
+    for g, rg in zip(grads, ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(rg), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_pipeline_tp_axis_validates_channel_divisibility():
+    x, kernels, biases = _data()
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("pipe", "model"))
+    with pytest.raises(ValueError, match="divide evenly over"):
+        # 3 channels over a 2-way TP axis.
+        pipeline_blocks_apply(
+            kernels[:, :, :, :3, :3], biases[:, :3], x[..., :3], h, mesh,
+            tp_axis="model",
+        )
