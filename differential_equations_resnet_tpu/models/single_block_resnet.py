@@ -136,6 +136,17 @@ class SingleBlockResNetConfig:
                 "identity stack: integrator='euler', use_batch_norm=False, "
                 "use_pallas=False."
             )
+        if (
+            self.pp_mesh is not None
+            and self.tp_mesh is not None
+            and self.tp_mesh is not self.pp_mesh
+        ):
+            raise ValueError(
+                "Composing pipeline and tensor parallelism (tp x pp) "
+                "requires ONE mesh carrying both axes: pass the same Mesh "
+                "as pp_mesh and tp_mesh (with pp_axis and tp_axis naming "
+                "its two axes)."
+            )
         if self.kernel_type == "antisymmetric" and self.kernel_size != 3:
             raise ValueError(
                 "The antisymmetric kernel path is specialized to 3x3 "
@@ -354,6 +365,11 @@ def _dense_blocks(blocks, config) -> ConvParams:
         )
     else:
         dense = blocks
+    if config.pp_mesh is not None:
+        # The pipelined path shards kernels itself (shard_map in_specs:
+        # layers over pp_axis, c_out over tp_axis when composed) — a GSPMD
+        # with_sharding_constraint here would fight that split.
+        return dense
     return ConvParams(
         kernel=_tp_constrain(
             dense.kernel, config, None, None, None, None, config.tp_axis
@@ -491,6 +507,7 @@ def _apply_identity_blocks_pipelined(x, dense: ConvParams, config):
     from jax.sharding import PartitionSpec as P
 
     kernel, bias = dense.kernel, dense.bias
+    tp_axis = config.tp_axis if config.tp_mesh is not None else None
     packed = _s2d_eligible(config, x)
     if packed:
         from differential_equations_resnet_tpu.ops.s2d import (
@@ -508,6 +525,7 @@ def _apply_identity_blocks_pipelined(x, dense: ConvParams, config):
         axis_name=config.pp_axis,
         num_microbatches=config.pp_microbatches or None,
         batch_spec=P(config.pp_batch_axis) if config.pp_batch_axis else P(),
+        tp_axis=tp_axis,
     )
     if packed:
         y = depth_to_space(y, config.s2d_block)

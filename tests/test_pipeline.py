@@ -194,3 +194,64 @@ def test_pipeline_tp_axis_validates_channel_divisibility():
             kernels[:, :, :, :3, :3], biases[:, :3], x[..., :3], h, mesh,
             tp_axis="model",
         )
+
+
+@pytest.mark.parametrize("s2d_block", [0, 2])
+def test_model_level_tp_pp_composition(s2d_block):
+    """pp_mesh + tp_mesh on ONE two-axis mesh: the full model runs the
+    identity stack pipelined over 'pipe' with channel TP over 'model' inside
+    each stage — forward logits and parameter gradients must match the plain
+    model on the same params (incl. the s2d packed composition)."""
+    from differential_equations_resnet_tpu.models import (
+        build_single_block_resnet,
+        cifar10_single_block_config,
+    )
+    from differential_equations_resnet_tpu.train.train_step import (
+        cross_entropy_from_logits,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("pipe", "model"))
+    common = dict(num_layers=8, num_filters=8, s2d_block=s2d_block)
+    model = build_single_block_resnet(cifar10_single_block_config(**common))
+    model_tp_pp = build_single_block_resnet(
+        cifar10_single_block_config(
+            **common, pp_mesh=mesh, pp_microbatches=4,
+            tp_mesh=mesh, tp_axis="model",
+        )
+    )
+    params, state = model.init(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 255, (8, 8, 8, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 10, (8,)))
+
+    out, _ = model.apply(params, state, x, return_logits=True)
+    out_c, _ = model_tp_pp.apply(params, state, x, return_logits=True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(m):
+        def fn(p):
+            logits, _ = m.apply(p, state, x, return_logits=True)
+            return cross_entropy_from_logits(logits, labels)
+
+        return fn
+
+    g = jax.grad(loss(model))(params)
+    g_c = jax.grad(loss(model_tp_pp))(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_model_config_rejects_mismatched_tp_pp_meshes():
+    from differential_equations_resnet_tpu.models import (
+        cifar10_single_block_config,
+    )
+
+    mesh_a = Mesh(np.array(jax.devices()[:2]), ("pipe",))
+    mesh_b = Mesh(np.array(jax.devices()[2:4]), ("model",))
+    with pytest.raises(ValueError, match="ONE mesh"):
+        cifar10_single_block_config(
+            num_layers=4, pp_mesh=mesh_a, tp_mesh=mesh_b
+        )
