@@ -509,7 +509,10 @@ def cmd_reproduce(args) -> int:
     else:
         print("# SYNTHETIC data: results will NOT match the baselines",
               file=sys.stderr)
-        train_x, train_y, test_x, test_y, _ = synthetic_cifar10()
+        train_x, train_y, test_x, test_y, _ = synthetic_cifar10(
+            num_train=args.synthetic_train_size or 50000,
+            num_test=args.synthetic_val_size or 10000,
+        )
         data_kind = "synthetic"
 
     batch = 32
@@ -729,6 +732,9 @@ def main(argv=None) -> int:
                    help="run a single config, e.g. antisymmetric_16")
     p.add_argument("--synthetic", action="store_true",
                    help="allow synthetic data (pipeline smoke only)")
+    p.add_argument("--synthetic-train-size", type=int, default=None,
+                   help="synthetic dataset size for smoke runs")
+    p.add_argument("--synthetic-val-size", type=int, default=None)
     p.set_defaults(fn=cmd_reproduce)
 
     p = sub.add_parser(

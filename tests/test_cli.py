@@ -123,3 +123,44 @@ def test_cli_predict_npy_and_directory(tmp_path, capsys):
     ]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["num_images"] == 3
+
+
+def test_cli_reproduce_synthetic_smoke(tmp_path, capsys):
+    """`reproduce --synthetic` (the north-star pipeline) end-to-end at smoke
+    scale: one config, one epoch, tiny synthetic data — the exact code path
+    that runs against real CIFAR-10 the moment the dataset exists."""
+    assert main([
+        "reproduce", "--synthetic", "--only", "regular_8",
+        "--epochs", "1", "--steps-per-epoch", "2", "--scan-steps", "0",
+        "--synthetic-train-size", "128", "--synthetic-val-size", "64",
+        "--csv-dir", str(tmp_path / "csv"),
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["data"] == "synthetic"
+    (run,) = out["runs"]
+    assert run["run"] == "single_block_regular_64-layers_8-filters"
+    assert run["baseline_accuracy"] == 0.4954
+    assert 0.0 <= run["best_val_accuracy"] <= 1.0
+    # The reference-format gradient-history CSV was written.
+    files = os.listdir(tmp_path / "csv")
+    assert any("regular_64-layers_8-filters" in f and "training" in f
+               for f in files)
+
+
+def test_cli_export_and_load(tmp_path, capsys):
+    """`export` writes a self-contained serving directory (config + params
+    [+ StableHLO]) that load_exported can run."""
+    out_dir = tmp_path / "exported"
+    assert main([
+        "export", str(out_dir), "--num-layers", "2", "--num-filters", "8",
+        "--batch-size", "2", "--no-stablehlo",
+    ]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["export_dir"] == str(out_dir)
+
+    from differential_equations_resnet_tpu.utils.serving import load_exported
+
+    predict, manifest = load_exported(str(out_dir))
+    assert manifest["family"] == "single_block"
+    probs = predict(np.zeros((2, 32, 32, 3), np.float32))
+    assert np.asarray(probs).shape == (2, 10)
