@@ -101,7 +101,6 @@ def main() -> None:
     )
     from differential_equations_resnet_tpu.train import make_adam
     from differential_equations_resnet_tpu.utils.flops import (
-        PEAK_FLOPS,
         mfu,
         single_block_train_flops,
     )

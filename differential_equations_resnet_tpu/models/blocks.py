@@ -181,6 +181,7 @@ def l2_kernel_penalty(params, weight: float) -> jax.Array:
         return jnp.zeros((), jnp.float32)
     return weight * sum(jnp.sum(jnp.square(leaf.astype(jnp.float32))) for leaf in leaves)
 
+
 def cached_model(cache: dict, config, ctor):
     """Value-keyed model-wrapper cache with an unhashable-config fallback.
 

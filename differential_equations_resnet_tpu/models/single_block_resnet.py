@@ -642,7 +642,9 @@ class SingleBlockResNet:
         train/eval step builders when a mesh is passed — never a user knob."""
         if n == self.config.data_axis_size:
             return self
-        return SingleBlockResNet(
+        # Route through the value cache so equal bound configs share one
+        # wrapper (and the memoized step builders share executables).
+        return build_single_block_resnet(
             dataclasses.replace(self.config, data_axis_size=n)
         )
 
