@@ -594,16 +594,6 @@ def cmd_export(args) -> int:
     return 0
 
 
-# Subcommands that dispatch device compute.  The persistent-compile-cache
-# setup probes `jax.default_backend()`, which initializes the backend (on TPU
-# hosts: grabs the accelerator) — so it must NOT run for `--help`, argparse
-# errors, or host-only subcommands (analyze / convert-records / fetch-cifar10).
-_COMPUTE_COMMANDS = frozenset(
-    {"train", "evaluate", "predict", "benchmark", "deep-stability", "sweep",
-     "reproduce", "export"}
-)
-
-
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="deqres", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -639,7 +629,7 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint in --save-dir "
                         "(full TrainState incl. Adam slots) before training")
-    p.set_defaults(fn=cmd_train)
+    p.set_defaults(fn=cmd_train, needs_accelerator=True)
 
     p = sub.add_parser("evaluate")
     _add_model_args(p)
@@ -651,7 +641,7 @@ def main(argv=None) -> int:
     p.add_argument("--synthetic-train-size", type=int, default=None)
     p.add_argument("--synthetic-val-size", type=int, default=None)
     p.add_argument("--checkpoint", default=None)
-    p.set_defaults(fn=cmd_evaluate)
+    p.set_defaults(fn=cmd_evaluate, needs_accelerator=True)
 
     p = sub.add_parser("predict")
     _add_model_args(p)
@@ -659,7 +649,7 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--output", default=None, help="write probabilities .npy")
-    p.set_defaults(fn=cmd_predict)
+    p.set_defaults(fn=cmd_predict, needs_accelerator=True)
 
     p = sub.add_parser("benchmark")
     _add_model_args(p)
@@ -668,7 +658,7 @@ def main(argv=None) -> int:
     p.add_argument("--scan-steps", type=int, default=0,
                    help="K>1: run K steps per dispatch via make_multi_step")
     p.add_argument("--profile-dir", default=None)
-    p.set_defaults(fn=cmd_benchmark)
+    p.set_defaults(fn=cmd_benchmark, needs_accelerator=True)
 
     p = sub.add_parser("analyze")
     p.add_argument("training_csv")
@@ -681,7 +671,7 @@ def main(argv=None) -> int:
     p.add_argument("--num-filters", type=int, default=8)
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--grid", type=int, default=6)
-    p.set_defaults(fn=cmd_deep_stability)
+    p.set_defaults(fn=cmd_deep_stability, needs_accelerator=True)
 
     p = sub.add_parser("sweep")
     p.add_argument("--widths", default="16,32,64")
@@ -692,7 +682,7 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--kernel-type",
                    choices=["antisymmetric", "regular"], default="antisymmetric")
-    p.set_defaults(fn=cmd_sweep)
+    p.set_defaults(fn=cmd_sweep, needs_accelerator=True)
 
     p = sub.add_parser("convert-records")
     p.add_argument("input")
@@ -735,7 +725,7 @@ def main(argv=None) -> int:
     p.add_argument("--synthetic-train-size", type=int, default=None,
                    help="synthetic dataset size for smoke runs")
     p.add_argument("--synthetic-val-size", type=int, default=None)
-    p.set_defaults(fn=cmd_reproduce)
+    p.set_defaults(fn=cmd_reproduce, needs_accelerator=True)
 
     p = sub.add_parser(
         "export",
@@ -747,14 +737,19 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--no-stablehlo", action="store_true")
-    p.set_defaults(fn=cmd_export)
+    p.set_defaults(fn=cmd_export, needs_accelerator=True)
 
     args = parser.parse_args(argv)
-    if args.command in _COMPUTE_COMMANDS:
+    if getattr(args, "needs_accelerator", False):
         # Persistent XLA compilation cache: repeat CLI runs load the
         # serialized train-step executable in <1 s instead of recompiling
         # (tens of seconds, highly load-variable on tunneled backends).
-        # DEQRES_COMPILE_CACHE=0 opts out (utils/compile_cache.py).
+        # The cache setup probes `jax.default_backend()`, which initializes
+        # the backend (on TPU hosts: grabs the accelerator) — so it only
+        # runs for subcommands that declare needs_accelerator in their
+        # set_defaults, never for `--help`, argparse errors, or host-only
+        # subcommands.  DEQRES_COMPILE_CACHE=0 opts out
+        # (utils/compile_cache.py).
         from differential_equations_resnet_tpu.utils.compile_cache import (
             enable_compile_cache,
         )
