@@ -22,8 +22,8 @@ accounting (VERDICT r2 tasks 1/7): nominal model FLOPs/step
 model TFLOPS, MFU against the v5e 197-TFLOPS bf16 peak, and the fraction of
 the documented practical single-chip floor (docs/RESULTS.md roofline:
 ~2.4 ms/step for the b=32 packed step), plus a `large_batch` section
-measuring the b=128 direct-layout device-resident frontier (the 2.4x img/s
-lever over b=32; docs/RESULTS.md section 2b).
+measuring the b=256 direct-layout device-resident frontier (the measured
+img/s peak of the batch sweep, ~2.4x over b=32; docs/RESULTS.md section 6c).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -122,9 +122,10 @@ def main() -> None:
     )
     flops_step = single_block_train_flops(config, batch_size)
 
-    # Large-batch frontier: b=128, direct layout (the mesh-aware row gate
-    # declines s2d packing above 32768 rows/device automatically).
-    lb_batch, lb_scan_k, lb_chunks = 128, 250, 2
+    # Large-batch frontier: b=256 (the measured img/s peak of the batch
+    # sweep, docs/RESULTS.md section 6c), direct layout (the mesh-aware row
+    # gate declines s2d packing above 32768 rows/device automatically).
+    lb_batch, lb_scan_k, lb_chunks = 256, 125, 2
     lb_steps_per_sec = _measure_device_epoch(
         model, tx, lb_batch, lb_scan_k, lb_chunks, images, labels, seed0=100
     )
