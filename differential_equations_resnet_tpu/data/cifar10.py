@@ -37,9 +37,9 @@ def build_cifar10_dataset(
     test_images = d[b"data"]
     test_labels = np.asarray(d[b"labels"])
 
-    train_images = np.transpose(train_images.reshape(50000, 3, 32, 32), (0, 2, 3, 1))
+    train_images = np.transpose(train_images.reshape(-1, 3, 32, 32), (0, 2, 3, 1))
     test_images = np.transpose(
-        np.asarray(test_images).reshape(10000, 3, 32, 32), (0, 2, 3, 1)
+        np.asarray(test_images).reshape(-1, 3, 32, 32), (0, 2, 3, 1)
     )
 
     d = unpickle(os.path.join(cifar10_directory, "batches.meta"))

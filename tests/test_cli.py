@@ -13,15 +13,19 @@ from differential_equations_resnet_tpu.cli import main
 
 
 def _tiny_train_args(tmp_path, extra=()):
+    # Deliberately the SAME model config and batch size as
+    # tests/test_train.py's make_trainer (4Lx8F, batch 32): the value-keyed
+    # model cache + memoized step builders then share one set of XLA
+    # executables across the two files, keeping suite wall time down.
     return [
         "train",
-        "--num-layers", "3",
+        "--num-layers", "4",
         "--num-filters", "8",
         "--epochs", "1",
         "--steps-per-epoch", "3",
         "--eval-steps", "2",
-        "--batch-size", "16",
-        "--synthetic-train-size", "128",
+        "--batch-size", "32",
+        "--synthetic-train-size", "256",
         "--synthetic-val-size", "64",
         "--csv-dir", str(tmp_path / "csv"),
         "--summaries-frequency", "1",
@@ -44,8 +48,11 @@ def test_cli_train_analyze_roundtrip(tmp_path, capsys):
 
 def test_cli_train_scan_steps_and_resume(tmp_path, capsys):
     save = str(tmp_path / "ckpt")
+    # scan-steps 4 over 6 steps = the exact (K=4 chunk + K=2 remainder)
+    # programs test_train.py's scan-equivalence case compiles — shared.
     args = _tiny_train_args(
-        tmp_path, ["--scan-steps", "2", "--save-dir", save, "--save-frequency", "1"]
+        tmp_path, ["--scan-steps", "4", "--steps-per-epoch", "6",
+                   "--save-dir", save, "--save-frequency", "1"]
     )
     assert main(args) == 0
     assert main(args + ["--resume"]) == 0
@@ -129,10 +136,14 @@ def test_cli_reproduce_synthetic_smoke(tmp_path, capsys):
     """`reproduce --synthetic` (the north-star pipeline) end-to-end at smoke
     scale: one config, one epoch, tiny synthetic data — the exact code path
     that runs against real CIFAR-10 the moment the dataset exists."""
+    # One step + one eval batch: at the reference's full 64-layer depth a
+    # single CPU-host train step costs ~16 s of pure execution, so the step
+    # count IS the test's wall time (compiles are <1 s — the depth scan
+    # compiles once regardless of L).
     assert main([
         "reproduce", "--synthetic", "--only", "regular_8",
-        "--epochs", "1", "--steps-per-epoch", "2", "--scan-steps", "0",
-        "--synthetic-train-size", "128", "--synthetic-val-size", "64",
+        "--epochs", "1", "--steps-per-epoch", "1", "--scan-steps", "0",
+        "--synthetic-train-size", "128", "--synthetic-val-size", "32",
         "--csv-dir", str(tmp_path / "csv"),
     ]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -92,18 +92,19 @@ def test_cifar10_loader_roundtrip(tmp_path):
     """Write the CIFAR-10 pickle layout and check loader semantics (CHW row
     unpacking -> NHWC) against the reference formulas."""
     rng = np.random.default_rng(0)
+    rows = 1000  # per-shard row count is free in the loader (reshape(-1, ...))
     for i in range(1, 6):
-        data = np.frombuffer(rng.bytes(10000 * 3072), np.uint8).reshape(10000, 3072)
+        data = np.frombuffer(rng.bytes(rows * 3072), np.uint8).reshape(rows, 3072)
         with open(tmp_path / f"data_batch_{i}", "wb") as f:
-            pickle.dump({b"data": data, b"labels": list(rng.integers(0, 10, 10000))}, f)
-    test_data = np.frombuffer(rng.bytes(10000 * 3072), np.uint8).reshape(10000, 3072)
+            pickle.dump({b"data": data, b"labels": list(rng.integers(0, 10, rows))}, f)
+    test_data = np.frombuffer(rng.bytes(rows * 3072), np.uint8).reshape(rows, 3072)
     with open(tmp_path / "test_batch", "wb") as f:
-        pickle.dump({b"data": test_data, b"labels": list(rng.integers(0, 10, 10000))}, f)
+        pickle.dump({b"data": test_data, b"labels": list(rng.integers(0, 10, rows))}, f)
     with open(tmp_path / "batches.meta", "wb") as f:
         pickle.dump({b"label_names": [f"c{i}".encode() for i in range(10)]}, f)
 
     tr_x, tr_y, te_x, te_y, names = build_cifar10_dataset(str(tmp_path))
-    assert tr_x.shape == (50000, 32, 32, 3) and te_x.shape == (10000, 32, 32, 3)
+    assert tr_x.shape == (5 * rows, 32, 32, 3) and te_x.shape == (rows, 32, 32, 3)
     assert names == [f"c{i}" for i in range(10)]
     # First pixel of first test image: row-major CHW packing.
     np.testing.assert_array_equal(
