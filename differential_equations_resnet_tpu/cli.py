@@ -56,9 +56,17 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--use-pallas", action="store_true")
     p.add_argument("--s2d-block", type=int, default=2,
                    help="b>1: space-to-depth packed integrator (exact; 0=off)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params/optimizer stay fp32). "
+                        "Worth up to 1.55x at lane-filling trunk widths "
+                        "(C>=64); ~2% at the 16-filter reference configs "
+                        "(docs/RESULTS.md 6c)")
 
 
 def _build_model(args):
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     if getattr(args, "model", "single_block") != "single_block":
         from differential_equations_resnet_tpu.models import (
             build_resnet,
@@ -73,6 +81,7 @@ def _build_model(args):
             image_shape=(size, size, 3),
             version=args.resnet_version,
             gamma=args.gamma,
+            compute_dtype=compute_dtype,
         )
         return build_resnet(config)
 
@@ -92,6 +101,7 @@ def _build_model(args):
         remat=args.remat,
         use_pallas=args.use_pallas,
         s2d_block=getattr(args, "s2d_block", 2),
+        compute_dtype=compute_dtype,
     )
     return build_single_block_resnet(config)
 

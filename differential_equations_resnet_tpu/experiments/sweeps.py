@@ -25,6 +25,10 @@ from differential_equations_resnet_tpu.train import (
     make_adam,
     make_train_step,
 )
+from differential_equations_resnet_tpu.utils.flops import (
+    mfu,
+    single_block_train_flops,
+)
 
 
 def imagenet32_config(
@@ -95,10 +99,15 @@ def measure_train_throughput(
     elapsed = time.perf_counter() - start
 
     steps_per_sec = steps / elapsed
+    flops_step = single_block_train_flops(config, batch_size)
     return {
         "steps_per_sec": steps_per_sec,
         "images_per_sec": steps_per_sec * batch_size,
         "step_ms": 1e3 * elapsed / steps,
+        # Absolute-utilization accounting (same convention as bench.py:
+        # nominal model FLOPs over the v5e bf16 peak).
+        "model_tflops": flops_step * steps_per_sec / 1e12,
+        "mfu_vs_bf16_peak": mfu(flops_step, steps_per_sec),
     }
 
 

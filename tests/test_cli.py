@@ -158,6 +158,29 @@ def test_cli_reproduce_synthetic_smoke(tmp_path, capsys):
                for f in files)
 
 
+def test_cli_bf16_flag_sets_compute_dtype():
+    """--bf16 flows into compute_dtype for both model families (no compile:
+    config-level check only)."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from differential_equations_resnet_tpu.cli import _build_model
+
+    common = dict(
+        image_size=32, num_classes=10, resnet_version=1, num_layers=4,
+        num_filters=8, final_time=8.0, gamma=0.0, kernel_type="antisymmetric",
+        kernel_size=3, integrator="euler", remat=False, use_pallas=False,
+        s2d_block=2,
+    )
+    for family in ("single_block", "resnet50"):
+        for bf16, expect in ((True, jnp.bfloat16), (False, jnp.float32)):
+            model = _build_model(
+                SimpleNamespace(model=family, bf16=bf16, **common)
+            )
+            assert model.config.compute_dtype == expect, (family, bf16)
+
+
 def test_cli_export_and_load(tmp_path, capsys):
     """`export` writes a self-contained serving directory (config + params
     [+ StableHLO]) that load_exported can run."""
