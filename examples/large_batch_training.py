@@ -32,6 +32,10 @@ def main() -> int:
     parser.add_argument("--num-layers", type=int, default=64)
     parser.add_argument("--num-filters", type=int, default=16)
     parser.add_argument("--cifar10-dir", default=None)
+    parser.add_argument("--compare-bf16", action="store_true",
+                        help="run each batch size in fp32 AND bfloat16 "
+                             "compute (same lr), reporting convergence "
+                             "deltas across dtypes too")
     args = parser.parse_args()
 
     from differential_equations_resnet_tpu.utils.compile_cache import (
@@ -67,11 +71,20 @@ def main() -> int:
             args.train_size, args.val_size, seed=0
         )
 
+    import jax.numpy as jnp
+
+    arms = [
+        (int(b), dtype)
+        for b in args.batches.split(",")
+        for dtype in ((jnp.float32, jnp.bfloat16) if args.compare_bf16
+                      else (jnp.float32,))
+    ]
     runs = []
-    for batch in (int(b) for b in args.batches.split(",")):
+    for batch, compute_dtype in arms:
         lr = args.base_lr * batch / 32.0
         config = cifar10_single_block_config(
-            num_layers=args.num_layers, num_filters=args.num_filters
+            num_layers=args.num_layers, num_filters=args.num_filters,
+            compute_dtype=compute_dtype,
         )
         model = build_single_block_resnet(config)
         trainer = Training(
@@ -97,6 +110,7 @@ def main() -> int:
         flops = single_block_train_flops(config, batch)
         runs.append({
             "batch": batch,
+            "dtype": jnp.dtype(compute_dtype).name,
             "lr": lr,
             "steps": steps,
             "final_train_loss": history["train"][-1]["mean_loss"],
@@ -119,6 +133,7 @@ def main() -> int:
         out["convergence_delta_vs_base"] = [
             {
                 "batch": r["batch"],
+                "dtype": r["dtype"],
                 "train_loss_delta": round(
                     r["final_train_loss"] - base["final_train_loss"], 4
                 ),
