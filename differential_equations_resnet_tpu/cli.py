@@ -59,7 +59,7 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params/optimizer stay fp32). "
                         "Worth up to 1.55x at lane-filling trunk widths "
-                        "(C>=64); ~2% at the 16-filter reference configs "
+                        "(C>=64); ~2%% at the 16-filter reference configs "
                         "(docs/RESULTS.md 6c)")
 
 

@@ -18,11 +18,14 @@ def build_cifar10_dataset(
     cifar10_directory: str,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, List[str]]:
     """Load the Python-pickle CIFAR-10 release and return
-    (train_images (50000,32,32,3) uint8, train_labels (50000,),
-     test_images (10000,32,32,3), test_labels (10000,), label_names).
+    (train_images (N,32,32,3) uint8, train_labels (N,),
+     test_images (M,32,32,3), test_labels (M,), label_names) — N=50000,
+    M=10000 for the real release; whatever rows are on disk otherwise.
 
     Identical semantics to the reference loader: (N,3072) CHW-packed rows are
-    reshaped to (N,3,32,32) and transposed to NHWC."""
+    reshaped to (N,3,32,32) and transposed to NHWC.  Archive integrity
+    (truncation protection) is `fetch-cifar10`'s sha256 check, not a row
+    count here."""
     train_pickle_filenames = [f"data_batch_{i}" for i in range(1, 6)]
 
     train_images, train_labels = [], []

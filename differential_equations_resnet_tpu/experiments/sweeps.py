@@ -100,14 +100,17 @@ def measure_train_throughput(
 
     steps_per_sec = steps / elapsed
     flops_step = single_block_train_flops(config, batch_size)
+    n_devices = mesh.size if mesh is not None else 1
     return {
         "steps_per_sec": steps_per_sec,
         "images_per_sec": steps_per_sec * batch_size,
         "step_ms": 1e3 * elapsed / steps,
         # Absolute-utilization accounting (same convention as bench.py:
-        # nominal model FLOPs over the v5e bf16 peak).
+        # nominal model FLOPs over the v5e bf16 peak).  model_tflops is the
+        # AGGREGATE model FLOP rate of the run; MFU is per chip (the global
+        # batch's FLOPs are spread over the mesh).
         "model_tflops": flops_step * steps_per_sec / 1e12,
-        "mfu_vs_bf16_peak": mfu(flops_step, steps_per_sec),
+        "mfu_vs_bf16_peak": mfu(flops_step, steps_per_sec) / n_devices,
     }
 
 
