@@ -475,20 +475,67 @@ def cmd_fetch_cifar10(args) -> int:
     return 0
 
 
-# The three published reference configs and their best-val-accuracy baselines
-# (BASELINE.md rows 1-3; reference numerical_results/csv/*_evaluation_metrics.csv).
+# The three published reference configs with their best-val-accuracy baselines
+# (BASELINE.md rows 1-3; reference numerical_results/csv/*_evaluation_metrics.csv)
+# and the gradient-flow diagnostic baselines (BASELINE.md rows 6-8; v7 notebook
+# cells 30/34/38 — the experiment's actual product: flat per-layer gradient
+# norms across depth).
 REFERENCE_RUNS = (
-    ("antisymmetric", 16, 0.5526),
-    ("regular", 16, 0.6047),
-    ("regular", 8, 0.4954),
+    ("antisymmetric", 16, 0.5526,
+     {"relative_deviation": 1.1399, "standard_deviation": 1.25e-4,
+      "last_first_ratio": 2.742}),
+    ("regular", 16, 0.6047,
+     {"relative_deviation": 1.0606, "standard_deviation": 2.4e-5,
+      "last_first_ratio": 1.243}),
+    ("regular", 8, 0.4954,
+     {"relative_deviation": 1.1016, "standard_deviation": 1.51e-4,
+      "last_first_ratio": 1.428}),
 )
+
+
+def _gradient_flow_vs_baseline(csv_dir, run_name, grad_baseline):
+    """The three gradient-flow diagnostics of the run's just-written training
+    CSV next to the reference's published values (v7 notebook cells
+    30/34/38) — the full north-star check (accuracy AND gradient-flow
+    statistics) in one reproduce invocation.  The baselines are only
+    comparable for real-data full-length runs."""
+    import glob
+    import os
+
+    from differential_equations_resnet_tpu.train import TrainingHistory
+
+    csvs = sorted(
+        glob.glob(os.path.join(csv_dir, f"{run_name}*training*.csv")),
+        key=os.path.getmtime,
+    )
+    measured = None
+    if csvs:
+        try:
+            th = TrainingHistory(training_history_filepath=csvs[-1])
+            measured = {
+                "relative_deviation": float(
+                    th.gradient_norm_relative_deviation()
+                ),
+                "standard_deviation": float(
+                    th.gradient_norm_standard_deviation()
+                ),
+                "last_first_ratio": float(
+                    th.gradient_norm_relative_comparison()
+                ),
+            }
+        except ValueError:
+            # Zero telemetry rows (run shorter than summaries_frequency).
+            pass
+    return {"measured": measured, "baseline": grad_baseline}
 
 
 def cmd_reproduce(args) -> int:
     """Reproduce the reference's three 21-epoch CIFAR-10 runs (v7 notebook
     cells 1-8: 64 layers, h=8/64, batch 32, Adam lr=1e-3, no augmentation)
     and report best val accuracy vs the published baselines with the
-    +-0.5% acceptance criterion (BASELINE.md north star)."""
+    +-0.5% acceptance criterion (BASELINE.md north star), plus the three
+    gradient-flow diagnostics vs their published values (v7 cells
+    30/34/38)."""
     import os
 
     from differential_equations_resnet_tpu.data.cifar10 import (
@@ -538,7 +585,7 @@ def cmd_reproduce(args) -> int:
     runs = [r for r in REFERENCE_RUNS
             if args.only is None
             or f"{r[0]}_{r[1]}" == args.only]
-    for kernel_type, num_filters, baseline in runs:
+    for kernel_type, num_filters, baseline, grad_baseline in runs:
         name = f"single_block_{kernel_type}_64-layers_{num_filters}-filters"
         print(f"# === {name} (baseline best val acc {baseline}) ===",
               file=sys.stderr)
@@ -560,7 +607,7 @@ def cmd_reproduce(args) -> int:
             steps_per_epoch=steps_per_epoch,
             learning_rate_schedule=lambda step: 1e-3,
             eval_steps=eval_steps,
-            summaries_frequency=10,
+            summaries_frequency=args.summaries_frequency,
             scan_steps=args.scan_steps,
             device_data=args.device_data,
             save_during_training=args.save_dir is not None,
@@ -578,6 +625,9 @@ def cmd_reproduce(args) -> int:
             "baseline_accuracy": baseline,
             "delta": delta,
             "within_half_percent": bool(abs(delta) <= 0.005 or delta > 0),
+            "gradient_flow": _gradient_flow_vs_baseline(
+                args.csv_dir, name, grad_baseline
+            ),
         })
         trainer.close()
         print(json.dumps(results[-1]), file=sys.stderr)
@@ -726,9 +776,12 @@ def main(argv=None) -> int:
                    help="device-resident epochs (fastest; floor(N/batch) "
                         "steps per epoch)")
     p.add_argument("--csv-dir", default="./numerical_results/csv")
+    p.add_argument("--summaries-frequency", type=int, default=10,
+                   help="telemetry CSV row every N steps (the reference "
+                        "logged every 10)")
     p.add_argument("--save-dir", default=None)
     p.add_argument("--only", default=None,
-                   choices=[f"{k}_{f}" for k, f, _ in REFERENCE_RUNS],
+                   choices=[f"{k}_{f}" for k, f, *_ in REFERENCE_RUNS],
                    help="run a single config, e.g. antisymmetric_16")
     p.add_argument("--synthetic", action="store_true",
                    help="allow synthetic data (pipeline smoke only)")

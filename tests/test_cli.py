@@ -144,6 +144,7 @@ def test_cli_reproduce_synthetic_smoke(tmp_path, capsys):
         "reproduce", "--synthetic", "--only", "regular_8",
         "--epochs", "1", "--steps-per-epoch", "1", "--scan-steps", "0",
         "--synthetic-train-size", "128", "--synthetic-val-size", "32",
+        "--summaries-frequency", "1",
         "--csv-dir", str(tmp_path / "csv"),
     ]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -152,6 +153,11 @@ def test_cli_reproduce_synthetic_smoke(tmp_path, capsys):
     assert run["run"] == "single_block_regular_64-layers_8-filters"
     assert run["baseline_accuracy"] == 0.4954
     assert 0.0 <= run["best_val_accuracy"] <= 1.0
+    # The full north-star check: gradient-flow diagnostics are computed from
+    # the run's own CSV and reported next to the published baselines.
+    gf = run["gradient_flow"]
+    assert gf["baseline"]["relative_deviation"] == 1.1016
+    assert gf["measured"]["relative_deviation"] > 0.0
     # The reference-format gradient-history CSV was written.
     files = os.listdir(tmp_path / "csv")
     assert any("regular_64-layers_8-filters" in f and "training" in f
