@@ -455,12 +455,19 @@ def _s2d_eligible(config, x) -> bool:
     rows //= max(int(getattr(config, "data_axis_size", 1)), 1)
     override = getattr(config, "s2d_max_rows", None)
     max_rows = _S2D_MAX_ROWS if override is None else override
+    # Packing trades 4x FLOPs for MXU lane occupancy — an ACCELERATOR
+    # property.  On CPU backends there are no lanes to fill and the trade is
+    # a pure FLOP loss, so the default crossover applies only off-CPU; an
+    # explicit s2d_max_rows opts the row rule in on any backend, and
+    # s2d_force skips the gate entirely.
+    backend_ok = override is not None or jax.default_backend() != "cpu"
     return (
         b > 1
         and config.kernel_size == 3
         and x.shape[1] % b == 0
         and x.shape[2] % b == 0
-        and (getattr(config, "s2d_force", False) or rows <= max_rows)
+        and (getattr(config, "s2d_force", False)
+             or (backend_ok and rows <= max_rows))
     )
 
 

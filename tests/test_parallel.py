@@ -238,7 +238,8 @@ def test_conv_trunk_tensor_parallel_matches_replicated(s2d_block):
     skew mirror fold, activations channel-sharded between layers) must match
     the unsharded model's loss and gradients (SURVEY.md section 2.3 row 3)."""
     mesh = create_mesh((2, 4), ("data", "model"))
-    base = dict(num_layers=4, num_filters=32, s2d_block=s2d_block)
+    base = dict(num_layers=4, num_filters=32, s2d_block=s2d_block,
+                s2d_force=s2d_block > 1)  # CPU backend: gate declines by default
     config_tp = cifar10_single_block_config(tp_mesh=mesh, **base)
     config_ref = cifar10_single_block_config(**base)
     model_tp = build_single_block_resnet(config_tp)

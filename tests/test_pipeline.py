@@ -85,7 +85,8 @@ def test_model_level_pipeline_matches_direct(s2d_block):
     )
 
     mesh = _mesh(4)
-    common = dict(num_layers=8, num_filters=8, s2d_block=s2d_block)
+    common = dict(num_layers=8, num_filters=8, s2d_block=s2d_block,
+                  s2d_force=s2d_block > 1)  # CPU: gate declines by default
     model = build_single_block_resnet(cifar10_single_block_config(**common))
     model_pp = build_single_block_resnet(
         cifar10_single_block_config(**common, pp_mesh=mesh, pp_microbatches=4)
@@ -211,7 +212,8 @@ def test_model_level_tp_pp_composition(s2d_block):
     )
 
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("pipe", "model"))
-    common = dict(num_layers=8, num_filters=8, s2d_block=s2d_block)
+    common = dict(num_layers=8, num_filters=8, s2d_block=s2d_block,
+                  s2d_force=s2d_block > 1)  # CPU: gate declines by default
     model = build_single_block_resnet(cifar10_single_block_config(**common))
     model_tp_pp = build_single_block_resnet(
         cifar10_single_block_config(

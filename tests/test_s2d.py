@@ -106,8 +106,10 @@ def _model_pair(kernel_type="antisymmetric", block=2):
         divide_by_stddev=127.5,
     )
     model = build_single_block_resnet(SingleBlockResNetConfig(**base))
+    # s2d_force: the parity tests run on the CPU backend, where the default
+    # gate (correctly) declines packing.
     model_s2d = build_single_block_resnet(
-        SingleBlockResNetConfig(**base, s2d_block=block)
+        SingleBlockResNetConfig(**base, s2d_block=block, s2d_force=True)
     )
     return model, model_s2d
 
@@ -177,8 +179,16 @@ def test_s2d_batch_gate():
         _s2d_eligible,
     )
 
-    cfg = cifar10_single_block_config(num_layers=4, num_filters=16)
-    assert cfg.s2d_block == 2
+    # This suite runs on the CPU backend, where the DEFAULT gate declines
+    # packing outright (it's an MXU-lane trade); the explicit s2d_max_rows
+    # override opts the row rule in on any backend, which is what the
+    # row-crossover assertions below exercise.
+    default_cfg = cifar10_single_block_config(num_layers=4, num_filters=16)
+    assert default_cfg.s2d_block == 2
+    assert not _s2d_eligible(default_cfg, jnp.zeros((32, 32, 32, 16)))
+    cfg = cifar10_single_block_config(
+        num_layers=4, num_filters=16, s2d_max_rows=32768
+    )
     assert _s2d_eligible(cfg, jnp.zeros((32, 32, 32, 16)))
     assert not _s2d_eligible(cfg, jnp.zeros((64, 32, 32, 16)))
     forced = cifar10_single_block_config(
@@ -208,7 +218,9 @@ def test_s2d_batch_gate_mesh_aware():
     from differential_equations_resnet_tpu.train.train_step import _bind_mesh
 
     model = build_single_block_resnet(
-        cifar10_single_block_config(num_layers=4, num_filters=16)
+        cifar10_single_block_config(
+            num_layers=4, num_filters=16, s2d_max_rows=32768
+        )
     )
     x = jnp.zeros((256, 32, 32, 16))
     # Single device: 262144 rows — direct layout.
@@ -237,7 +249,9 @@ def test_s2d_gate_binding_reaches_lowered_step():
     )
 
     model = build_single_block_resnet(
-        cifar10_single_block_config(num_layers=2, num_filters=16)
+        cifar10_single_block_config(
+            num_layers=2, num_filters=16, s2d_max_rows=32768
+        )
     )
     tx = make_adam()
     state = create_train_state(model, jax.random.key(0), tx)
