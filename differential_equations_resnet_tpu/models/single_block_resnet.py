@@ -85,9 +85,12 @@ class SingleBlockResNetConfig:
                                 # while the conv is overhead-bound
                                 # (_s2d_eligible's measured row threshold).
     s2d_force: bool = False     # skip the batch gate (benchmarking/tests)
-    s2d_max_rows: Optional[int] = None  # override the measured packed/direct
-                                # crossover row count (_S2D_MAX_ROWS) on
-                                # hardware where the v5e measurement is wrong
+    s2d_max_rows: Optional[int] = None  # calibrate the measured packed/
+                                # direct crossover row count (_S2D_MAX_ROWS)
+                                # on accelerators where the v5e measurement
+                                # is wrong.  Threshold-only: it does NOT
+                                # enable packing on CPU platforms (declare
+                                # `device_platform` or `s2d_force` for that).
     data_axis_size: int = 1     # number of devices the batch is sharded
                                 # over.  NOT a user knob: the train/eval step
                                 # builders derive it from the mesh's 'data'
@@ -95,6 +98,18 @@ class SingleBlockResNetConfig:
                                 # so the s2d batch gate sees per-DEVICE rows
                                 # (under jit shardings the traced x carries
                                 # the GLOBAL shape).
+    device_platform: Optional[str] = None  # platform ('tpu'/'cpu'/...) of
+                                # the devices executing the model.  Bound
+                                # automatically from the mesh by the step
+                                # builders (train_step._bind_mesh); an
+                                # explicitly-set value WINS over the mesh's
+                                # (the calibration/testing escape hatch).
+                                # None + no mesh: jax.default_backend().
+                                # Backend-dependent layout gates
+                                # (_s2d_eligible) key on this, not on the
+                                # process-global default backend, so mixed-
+                                # platform hosts gate on the devices that
+                                # actually run the program.
     pp_mesh: Any = None         # Mesh: pipeline the identity-block stack over
     pp_axis: str = "pipe"       # pp_axis (GPipe shard_map + ppermute over the
     pp_microbatches: int = 0    # layer axis, parallel/pipeline.py); 0 micro-
@@ -445,7 +460,7 @@ def _s2d_eligible(config, x) -> bool:
     overhead/HBM-bound: it trades 4x nominal FLOPs (3/4 structural zeros in
     the packed kernel) for ~1.6x less padded-MXU work at small C.  Once
     N*H*W fills the MXU the extra FLOPs dominate, so packing is gated on the
-    per-device row count (`_S2D_MAX_ROWS`; `s2d_max_rows` overrides the
+    per-device row count (`_S2D_MAX_ROWS`; `s2d_max_rows` calibrates the
     threshold, `s2d_force` skips the gate for benchmarking).  Under data
     parallelism the traced x carries the GLOBAL batch, but the crossover is
     a per-device property — the step builders bind `config.data_axis_size`
@@ -456,11 +471,15 @@ def _s2d_eligible(config, x) -> bool:
     override = getattr(config, "s2d_max_rows", None)
     max_rows = _S2D_MAX_ROWS if override is None else override
     # Packing trades 4x FLOPs for MXU lane occupancy — an ACCELERATOR
-    # property.  On CPU backends there are no lanes to fill and the trade is
-    # a pure FLOP loss, so the default crossover applies only off-CPU; an
-    # explicit s2d_max_rows opts the row rule in on any backend, and
-    # s2d_force skips the gate entirely.
-    backend_ok = override is not None or jax.default_backend() != "cpu"
+    # property.  On CPU platforms there are no lanes to fill and the trade
+    # is a pure FLOP loss, so the row rule applies only off-CPU.  The
+    # platform signal is the EXECUTING devices' (config.device_platform,
+    # bound from the mesh by the step builders; an explicit config value
+    # wins), falling back to the process default backend for meshless use —
+    # on mixed-platform hosts default_backend() alone misidentifies where
+    # the program runs (cf. utils/compile_cache.py's platform notes).
+    platform = getattr(config, "device_platform", None) or jax.default_backend()
+    backend_ok = platform != "cpu"
     return (
         b > 1
         and config.kernel_size == 3
@@ -642,17 +661,33 @@ class SingleBlockResNet:
     def name(self) -> str:
         return self.config.name
 
-    def with_data_axis_size(self, n: int) -> "SingleBlockResNet":
-        """Internal: rebind the config's `data_axis_size` (the number of
-        devices the batch is sharded over) so shape-dependent layout gates
-        (`_s2d_eligible`) see per-device rows.  Called automatically by the
-        train/eval step builders when a mesh is passed — never a user knob."""
-        if n == self.config.data_axis_size:
+    def with_mesh_context(
+        self,
+        data_axis_size: Optional[int] = None,
+        device_platform: Optional[str] = None,
+    ) -> "SingleBlockResNet":
+        """Internal: rebind mesh-derived config context — the number of
+        devices the batch is sharded over and the platform those devices
+        belong to — so shape- and backend-dependent layout gates
+        (`_s2d_eligible`) judge per-DEVICE work on the EXECUTING platform.
+        Called automatically by the train/eval step builders when a mesh is
+        passed (train_step._bind_mesh) — never a user knob.  An explicitly
+        set `config.device_platform` wins over the mesh's platform (the
+        calibration/testing escape hatch)."""
+        changes = {}
+        if (
+            data_axis_size is not None
+            and data_axis_size != self.config.data_axis_size
+        ):
+            changes["data_axis_size"] = data_axis_size
+        if device_platform is not None and self.config.device_platform is None:
+            changes["device_platform"] = device_platform
+        if not changes:
             return self
         # Route through the value cache so equal bound configs share one
         # wrapper (and the memoized step builders share executables).
         return build_single_block_resnet(
-            dataclasses.replace(self.config, data_axis_size=n)
+            dataclasses.replace(self.config, **changes)
         )
 
 

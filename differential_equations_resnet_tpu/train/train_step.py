@@ -94,19 +94,24 @@ def _set_lr(opt_state, lr):
 
 
 def _bind_mesh(model, mesh: Optional[Mesh]):
-    """Derive shape-gate context from the mesh: when the batch is sharded
+    """Derive layout-gate context from the mesh: when the batch is sharded
     over a 'data' axis, the model's layout gates (`_s2d_eligible`) must see
     PER-DEVICE row counts even though the traced batch carries the global
-    shape.  Models expose `with_data_axis_size` for this; every step builder
-    routes through here so data-parallel users get the right layout
-    automatically (no manual knob)."""
+    shape — and they must judge the platform of the mesh's DEVICES, not the
+    process-global default backend (a CPU submesh on a TPU-default host, or
+    vice versa, would otherwise pick the wrong layout).  Models expose
+    `with_mesh_context` for this; every step builder routes through here so
+    mesh users get the right layout automatically (no manual knob).  An
+    explicitly-set `config.device_platform` survives the binding."""
     if mesh is None:
         return model
-    n = int(mesh.shape.get("data", 1))
-    binder = getattr(model, "with_data_axis_size", None)
-    if n > 1 and binder is not None:
-        return binder(n)
-    return model
+    binder = getattr(model, "with_mesh_context", None)
+    if binder is None:
+        return model
+    return binder(
+        data_axis_size=int(mesh.shape.get("data", 1)),
+        device_platform=mesh.devices.flat[0].platform,
+    )
 
 
 def build_loss_fn(model, train: bool = True):

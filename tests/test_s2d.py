@@ -180,27 +180,38 @@ def test_s2d_batch_gate():
     )
 
     # This suite runs on the CPU backend, where the DEFAULT gate declines
-    # packing outright (it's an MXU-lane trade); the explicit s2d_max_rows
-    # override opts the row rule in on any backend, which is what the
-    # row-crossover assertions below exercise.
+    # packing outright (it's an MXU-lane trade).
     default_cfg = cifar10_single_block_config(num_layers=4, num_filters=16)
     assert default_cfg.s2d_block == 2
     assert not _s2d_eligible(default_cfg, jnp.zeros((32, 32, 32, 16)))
-    cfg = cifar10_single_block_config(
+    # s2d_max_rows is calibration-ONLY: setting it must not opt packing in
+    # on a CPU platform (it tunes the threshold, not the platform rule).
+    cpu_calibrated = cifar10_single_block_config(
         num_layers=4, num_filters=16, s2d_max_rows=32768
     )
-    assert _s2d_eligible(cfg, jnp.zeros((32, 32, 32, 16)))
-    assert not _s2d_eligible(cfg, jnp.zeros((64, 32, 32, 16)))
+    assert not _s2d_eligible(cpu_calibrated, jnp.zeros((32, 32, 32, 16)))
+    # On an accelerator platform the DEFAULT _S2D_MAX_ROWS threshold
+    # applies with no override — the measured b=32/b=64 crossover.
+    accel = cifar10_single_block_config(
+        num_layers=4, num_filters=16, device_platform="tpu"
+    )
+    assert _s2d_eligible(accel, jnp.zeros((32, 32, 32, 16)))
+    assert not _s2d_eligible(accel, jnp.zeros((64, 32, 32, 16)))
     forced = cifar10_single_block_config(
         num_layers=4, num_filters=16, s2d_force=True
     )
     assert _s2d_eligible(forced, jnp.zeros((64, 32, 32, 16)))
-    # The crossover threshold is overridable per-config (for hardware where
-    # the v5e-measured _S2D_MAX_ROWS is wrong).
+    # The crossover threshold is calibratable per-config (for accelerators
+    # where the v5e-measured _S2D_MAX_ROWS is wrong).
     lowered_threshold = cifar10_single_block_config(
-        num_layers=4, num_filters=16, s2d_max_rows=1024
+        num_layers=4, num_filters=16, device_platform="tpu", s2d_max_rows=1024
     )
     assert not _s2d_eligible(lowered_threshold, jnp.zeros((32, 32, 32, 16)))
+    raised_threshold = cifar10_single_block_config(
+        num_layers=4, num_filters=16, device_platform="tpu",
+        s2d_max_rows=1 << 20,
+    )
+    assert _s2d_eligible(raised_threshold, jnp.zeros((64, 32, 32, 16)))
 
 
 def test_s2d_batch_gate_mesh_aware():
@@ -219,19 +230,31 @@ def test_s2d_batch_gate_mesh_aware():
 
     model = build_single_block_resnet(
         cifar10_single_block_config(
-            num_layers=4, num_filters=16, s2d_max_rows=32768
+            num_layers=4, num_filters=16, device_platform="tpu"
         )
     )
     x = jnp.zeros((256, 32, 32, 16))
     # Single device: 262144 rows — direct layout.
     assert not _s2d_eligible(_bind_mesh(model, None).config, x)
-    # 8-device DP mesh: 32768 rows/device — packed layout.
+    # 8-device DP mesh: 32768 rows/device — packed layout.  The explicit
+    # device_platform='tpu' survives the mesh binding (the test mesh's
+    # devices are virtual-CPU), exercising the calibration escape hatch.
     mesh = create_mesh((8,), ("data",))
     bound = _bind_mesh(model, mesh)
     assert bound.config.data_axis_size == 8
+    assert bound.config.device_platform == "tpu"
     assert _s2d_eligible(bound.config, x)
     # No public knob involved: the user-facing config still says 1.
     assert model.config.data_axis_size == 1
+    # Platform-unset model: _bind_mesh binds the mesh devices' platform
+    # ('cpu' here), so the gate declines packing even at eligible row
+    # counts — a CPU submesh never takes the 4x-FLOPs packed layout.
+    unset = build_single_block_resnet(
+        cifar10_single_block_config(num_layers=4, num_filters=16)
+    )
+    bound_unset = _bind_mesh(unset, mesh)
+    assert bound_unset.config.device_platform == "cpu"
+    assert not _s2d_eligible(bound_unset.config, x)
 
 
 def test_s2d_gate_binding_reaches_lowered_step():
@@ -248,9 +271,12 @@ def test_s2d_gate_binding_reaches_lowered_step():
         make_train_step,
     )
 
+    # device_platform='tpu' declared explicitly: the virtual-CPU test mesh
+    # would otherwise (correctly) bind 'cpu' and decline packing; the
+    # explicit value wins, letting the lowering assertion run on CPU.
     model = build_single_block_resnet(
         cifar10_single_block_config(
-            num_layers=2, num_filters=16, s2d_max_rows=32768
+            num_layers=2, num_filters=16, device_platform="tpu"
         )
     )
     tx = make_adam()
