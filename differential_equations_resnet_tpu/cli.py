@@ -139,6 +139,7 @@ def cmd_train(args) -> int:
         csv_logger_dir=args.csv_dir,
         csv_logger_name=f"single_block_{args.kernel_type}_{args.num_layers}-layers_{args.num_filters}-filters",
         summaries_dir=args.summaries_dir,
+        accum_steps=args.accum_steps,
     )
     if args.resume:
         from differential_equations_resnet_tpu.train import Checkpointer
@@ -668,6 +669,12 @@ def main(argv=None) -> int:
                    help="dataset evaluated between epochs (the reference "
                         "also supports evaluating on the training set)")
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation: split each batch into this "
+                        "many sequential microbatches and apply ONE averaged "
+                        "update — identical numerics to the monolithic step, "
+                        "peak activation memory of one microbatch (effective "
+                        "batches beyond HBM capacity)")
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--cifar10-dir", default=None)
     p.add_argument("--synthetic-train-size", type=int, default=None,

@@ -142,16 +142,87 @@ def build_loss_fn(model, train: bool = True):
     return loss_fn
 
 
-def _build_step_fn(model, tx, with_gradient_metrics: bool = True):
+def _build_step_fn(
+    model,
+    tx,
+    with_gradient_metrics: bool = True,
+    accum_steps: int = 1,
+    mesh: Optional[Mesh] = None,
+):
     """The raw (unjitted) train step:
-    (state, images, labels, lr) -> (state, metrics, grad_norms)."""
+    (state, images, labels, lr) -> (state, metrics, grad_norms).
+
+    ``accum_steps=k > 1`` runs GRADIENT ACCUMULATION: the batch is split
+    into k equal microbatches scanned sequentially, gradients are averaged,
+    and the optimizer applies ONE update — numerically the monolithic step
+    on the full batch (mean-of-equal-microbatch-means == full-batch mean,
+    for both the loss and its gradient; L2 penalty gradients average back
+    to a single application), but with peak activation memory of one
+    microbatch.  This is how effective batches beyond HBM capacity train
+    (the reference is single-GPU, batch-32-bound; here an effective batch
+    is bounded by dataset size, not memory).  Telemetry semantics are
+    unchanged: one metrics row and one grad-norms row per UPDATE.
+    BatchNorm running stats, when enabled, update sequentially through the
+    microbatches (the standard accumulation semantics).
+
+    ``mesh`` is used only to pin each microbatch onto the 'data' axis —
+    without the constraint GSPMD may keep the reshaped microbatch
+    replicated and compute it redundantly on every device."""
     config = model.config
     loss_fn = build_loss_fn(model, train=True)
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}.")
 
-    def step_fn(state: TrainState, images, labels, lr):
+    def grads_and_metrics(params, model_state, images, labels):
         (loss, (new_model_state, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.model_state, images, labels)
+        )(params, model_state, images, labels)
+        predictions = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum(
+            (predictions == _labels_argmax(labels)).astype(jnp.float32)
+        )
+        return grads, new_model_state, loss, correct
+
+    def accumulate(params, model_state, images, labels):
+        n = images.shape[0]
+        if n % accum_steps:
+            raise ValueError(
+                f"accum_steps={accum_steps} must divide the batch size "
+                f"(got {n}): gradient accumulation averages EQUAL "
+                f"microbatches so it reproduces the monolithic step exactly."
+            )
+        mb = n // accum_steps
+        images_r = jnp.reshape(images, (accum_steps, mb) + images.shape[1:])
+        labels_r = jnp.reshape(labels, (accum_steps, mb) + labels.shape[1:])
+
+        def body(carry, xy):
+            acc, model_state = carry
+            x, y = xy
+            if mesh is not None:
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("data"))
+                )
+                y = jax.lax.with_sharding_constraint(
+                    y, NamedSharding(mesh, P("data"))
+                )
+            grads, model_state, loss, correct = grads_and_metrics(
+                params, model_state, x, y
+            )
+            acc = jax.tree.map(jnp.add, acc, grads)
+            return (acc, model_state), (loss, correct)
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (acc, new_model_state), (losses, corrects) = jax.lax.scan(
+            body, (zeros, model_state), (images_r, labels_r)
+        )
+        grads = jax.tree.map(lambda g: g / accum_steps, acc)
+        return grads, new_model_state, jnp.mean(losses), jnp.sum(corrects)
+
+    def step_fn(state: TrainState, images, labels, lr):
+        fwd_bwd = grads_and_metrics if accum_steps == 1 else accumulate
+        grads, new_model_state, loss, correct = fwd_bwd(
+            state.params, state.model_state, images, labels
+        )
 
         grad_norms = (
             gradient_mean_norms(grads, config)
@@ -163,10 +234,6 @@ def _build_step_fn(model, tx, with_gradient_metrics: bool = True):
         updates, opt_state = tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        predictions = jnp.argmax(logits, axis=-1)
-        correct = jnp.sum(
-            (predictions == _labels_argmax(labels)).astype(jnp.float32)
-        )
         metrics = {
             "loss": loss,
             "correct": correct,
@@ -190,15 +257,21 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     with_gradient_metrics: bool = True,
     donate: bool = True,
+    accum_steps: int = 1,
 ):
     """Build the jitted train step:
     (state, images, labels, lr) -> (state, metrics, grad_norms).
 
     metrics = {'loss', 'correct', 'count'} (device scalars for the streaming
     accumulators); grad_norms = (1 + num_layers,) per SURVEY.md section 5.5.
+    ``accum_steps=k``: split the batch into k sequential microbatches and
+    apply ONE averaged update (see `_build_step_fn` — exact monolithic-step
+    numerics at one-microbatch activation memory).
     """
     model = _bind_mesh(model, mesh)
-    step_fn = _build_step_fn(model, tx, with_gradient_metrics)
+    step_fn = _build_step_fn(
+        model, tx, with_gradient_metrics, accum_steps=accum_steps, mesh=mesh
+    )
     donate_argnums = (0,) if donate else ()
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=donate_argnums)
@@ -220,6 +293,7 @@ def make_multi_step(
     with_gradient_metrics: bool = True,
     donate: bool = True,
     unroll: int = 1,
+    accum_steps: int = 1,
 ):
     """Build a jitted K-step trainer: one `lax.scan` over K pre-staged batches,
 
@@ -234,10 +308,13 @@ def make_multi_step(
     fetching an element of the returned metrics proves all K steps ran.
 
     K is baked into the compiled executable (static shape); reuse the same K
-    across calls to avoid recompiles.
+    across calls to avoid recompiles.  ``accum_steps``: each of the K
+    per-dispatch batches is itself microbatched (see `_build_step_fn`).
     """
     model = _bind_mesh(model, mesh)
-    step_fn = _build_step_fn(model, tx, with_gradient_metrics)
+    step_fn = _build_step_fn(
+        model, tx, with_gradient_metrics, accum_steps=accum_steps, mesh=mesh
+    )
 
     def multi_fn(state: TrainState, images, labels, lrs):
         def body(carry, xs):
@@ -272,6 +349,7 @@ def make_device_epoch(
     with_gradient_metrics: bool = True,
     augment=None,
     donate: bool = True,
+    accum_steps: int = 1,
 ):
     """Build a jitted DEVICE-RESIDENT epoch trainer:
 
@@ -293,9 +371,14 @@ def make_device_epoch(
     `steps * batch_size <= N` (the permutation is drawn without
     replacement).  The RNG `key` drives both the shuffle and augmentation —
     pass a per-epoch fold of the data seed for reproducible streams.
+    ``accum_steps``: each gathered `batch_size` batch is microbatched
+    inside the step (see `_build_step_fn`) — `batch_size` stays the
+    EFFECTIVE batch, so the without-replacement accounting is unchanged.
     """
     model = _bind_mesh(model, mesh)
-    step_fn = _build_step_fn(model, tx, with_gradient_metrics)
+    step_fn = _build_step_fn(
+        model, tx, with_gradient_metrics, accum_steps=accum_steps, mesh=mesh
+    )
 
     def epoch_fn(state: TrainState, features, labels, key, lrs):
         steps = lrs.shape[0]

@@ -78,10 +78,26 @@ class Training:
         seed: int = 0,
         data_seed: Optional[int] = 0,
         jit_augment=None,
+        accum_steps: int = 1,
     ):
         self.model = model
         self.mesh = mesh
         self.batch_size = batch_size
+        # Gradient accumulation: batch_size stays the EFFECTIVE batch (the
+        # optimizer sees one averaged update per batch_size examples, and
+        # all epoch/step accounting is in effective batches); accum_steps
+        # only caps peak activation memory at batch_size/accum_steps
+        # examples.  See train_step._build_step_fn for the exactness
+        # contract (identical numerics to the monolithic step).
+        self.accum_steps = int(accum_steps)
+        if self.accum_steps < 1:
+            raise ValueError(f"accum_steps must be >= 1, got {accum_steps}.")
+        if batch_size % self.accum_steps:
+            raise ValueError(
+                f"accum_steps ({accum_steps}) must divide batch_size "
+                f"({batch_size}): accumulation averages EQUAL microbatches "
+                "so it reproduces the monolithic step exactly."
+            )
         self.record_summaries = record_summaries
         self.summaries = tuple(summaries)
 
@@ -123,6 +139,7 @@ class Training:
         self._train_step = make_train_step(
             model, self.tx, mesh=mesh,
             with_gradient_metrics="mean_gradient_norms" in self.summaries,
+            accum_steps=self.accum_steps,
         )
         self._eval_step = make_eval_step(model, mesh=mesh)
         self._predict_step = make_predict_step(model, mesh=mesh)
@@ -293,6 +310,7 @@ class Training:
                 self._multi_steps[scan_k] = make_multi_step(
                     self.model, self.tx, mesh=self.mesh,
                     with_gradient_metrics="mean_gradient_norms" in self.summaries,
+                    accum_steps=self.accum_steps,
                 )
             multi_step = self._multi_steps[scan_k]
 
@@ -345,6 +363,7 @@ class Training:
                         "mean_gradient_norms" in self.summaries
                     ),
                     augment=self._jit_augment,
+                    accum_steps=self.accum_steps,
                 )
             device_epoch = self._device_epoch
 

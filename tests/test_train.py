@@ -772,3 +772,144 @@ def test_evaluate_rejects_zero_steps(tmp_path):
             verbose=False,
         )
     trainer.close()
+
+
+# ---------------------------------------------------------------------------
+# Gradient accumulation (train_step._build_step_fn accum_steps)
+# ---------------------------------------------------------------------------
+
+
+def _accum_state_and_batch(model, tx, batch=32, seed=0):
+    state = create_train_state(model, jax.random.key(seed), tx)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.uniform(0, 255, (batch, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, (batch,)))
+    return state, x, y
+
+
+def test_accum_step_matches_monolithic():
+    """accum_steps=k must reproduce the monolithic step exactly (equal
+    microbatches: mean-of-means == full-batch mean for loss AND gradient),
+    to fp32 reassociation tolerance — params, metrics, and grad norms."""
+    model = tiny_model()
+    tx = make_adam()
+    state, x, y = _accum_state_and_batch(model, tx)
+
+    mono = make_train_step(model, tx, donate=False)
+    accum = make_train_step(model, tx, donate=False, accum_steps=4)
+    s1, m1, g1 = mono(state, x, y, 1e-3)
+    s2, m2, g2 = accum(state, x, y, 1e-3)
+
+    assert float(m2["count"]) == 32.0
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+    assert float(m2["correct"]) == float(m1["correct"])
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-4, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
+        )
+    assert int(s2.step) == int(s1.step)
+
+
+def test_accum_step_under_dp_mesh():
+    """Accumulation composes with data parallelism: each microbatch is
+    constrained onto the mesh's data axis, and the result still matches the
+    meshless monolithic step."""
+    from differential_equations_resnet_tpu.parallel import create_mesh
+    from differential_equations_resnet_tpu.parallel.mesh import (
+        shard_batch,
+        shard_params,
+    )
+
+    model = tiny_model()
+    tx = make_adam()
+    state, x, y = _accum_state_and_batch(model, tx)
+    mono = make_train_step(model, tx, donate=False)
+    s1, m1, _ = mono(state, x, y, 1e-3)
+
+    mesh = create_mesh((8,), ("data",))
+    accum = make_train_step(model, tx, mesh=mesh, donate=False, accum_steps=2)
+    sharded_state = state._replace(
+        params=shard_params(mesh, state.params),
+        opt_state=shard_params(mesh, state.opt_state),
+    )
+    xs, ys = shard_batch(mesh, (np.asarray(x), np.asarray(y)))
+    s2, m2, _ = accum(sharded_state, xs, ys, 1e-3)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+    assert float(m2["correct"]) == float(m1["correct"])
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_accum_validation():
+    model = tiny_model()
+    tx = make_adam()
+    state, x, y = _accum_state_and_batch(model, tx)
+    step = make_train_step(model, tx, donate=False, accum_steps=5)
+    with pytest.raises(ValueError, match="divide"):
+        step(state, x, y, 1e-3)  # 5 does not divide 32 — trace-time error
+    with pytest.raises(ValueError, match="accum_steps"):
+        make_train_step(model, tx, donate=False, accum_steps=0)(
+            state, x, y, 1e-3
+        )
+    with pytest.raises(ValueError, match="divide"):
+        Training(model, batch_size=32, accum_steps=5, record_summaries=False)
+    with pytest.raises(ValueError, match="accum_steps"):
+        Training(model, batch_size=32, accum_steps=0, record_summaries=False)
+
+
+def test_accum_device_epoch_matches():
+    """The device-resident epoch trainer inherits accumulation: same RNG key
+    -> same permutation and batches, so accum_steps=2 must match the
+    accum-free epoch to fp32 tolerance, step for step."""
+    from differential_equations_resnet_tpu.train.train_step import (
+        make_device_epoch,
+    )
+
+    model = tiny_model()
+    tx = make_adam()
+    state = create_train_state(model, jax.random.key(1), tx)
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.integers(0, 256, (128, 32, 32, 3)), jnp.uint8)
+    labs = jnp.asarray(rng.integers(0, 10, (128,)))
+    lrs = jnp.full((4,), 1e-3, jnp.float32)
+    key = jax.random.key(7)
+
+    plain = make_device_epoch(model, tx, 32, donate=False)
+    accum = make_device_epoch(model, tx, 32, donate=False, accum_steps=2)
+    s1, m1, g1 = plain(state, feats, labs, key, lrs)
+    s2, m2, g2 = accum(state, feats, labs, key, lrs)
+
+    np.testing.assert_allclose(
+        np.asarray(m2["loss"]), np.asarray(m1["loss"]), rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(m2["correct"]), np.asarray(m1["correct"]))
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-4, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_training_accum_end_to_end(tmp_path):
+    """Training(accum_steps=4) runs the streaming loop and matches the
+    accum-free trainer's telemetry on the same data order."""
+    t1 = make_trainer(tmp_path / "a")
+    t2 = make_trainer(tmp_path / "b", accum_steps=4)
+    for t in (t1, t2):
+        t.train(
+            epochs=1,
+            steps_per_epoch=4,
+            learning_rate_schedule=constant_schedule(1e-3),
+            eval_frequency=None,
+            verbose=False,
+        )
+    r1 = t1.history["train"][-1]
+    r2 = t2.history["train"][-1]
+    np.testing.assert_allclose(r2["mean_loss"], r1["mean_loss"], rtol=1e-5)
+    np.testing.assert_allclose(r2["accuracy"], r1["accuracy"], rtol=1e-6)
+    t1.close()
+    t2.close()
