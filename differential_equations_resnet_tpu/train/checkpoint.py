@@ -95,16 +95,39 @@ class Checkpointer:
 
     # -- save/restore ---------------------------------------------------------
 
-    def save(self, state: Any, step: int, name: str = "", tags=(), metrics=None) -> str:
+    def save(
+        self,
+        state: Any,
+        step: int,
+        name: str = "",
+        tags=(),
+        metrics=None,
+        preserve_shardings: bool = False,
+    ) -> str:
+        """``preserve_shardings=True`` (orbax backend only) hands the live
+        `jax.Array` leaves to Orbax so each shard is written from the device
+        holding it — no host-side gather of the full state.  This is the
+        scale path: a TP/DP-sharded TrainState larger than host memory
+        checkpoints shard-wise, and on a multi-host mesh every process
+        writes only its addressable shards (call `save` on all processes
+        with a shared filesystem `base_dir`).  The default (False) gathers
+        to NumPy first — right for single-host runs and for pickle
+        portability."""
         ckpt_name = self.checkpoint_name(step, name, tags, metrics)
         path = self._path(ckpt_name)
         if self.backend == "orbax":
             import orbax.checkpoint as ocp
 
             checkpointer = ocp.StandardCheckpointer()
-            checkpointer.save(path, _to_numpy(state), force=True)
+            payload = state if preserve_shardings else _to_numpy(state)
+            checkpointer.save(path, payload, force=True)
             checkpointer.wait_until_finished()
         else:
+            if preserve_shardings:
+                raise ValueError(
+                    "preserve_shardings=True requires the 'orbax' backend "
+                    "(pickle serializes host arrays only)."
+                )
             os.makedirs(path, exist_ok=True)
             with open(os.path.join(path, "state.pkl"), "wb") as f:
                 pickle.dump(_to_numpy(state), f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -131,9 +154,22 @@ class Checkpointer:
         with open(meta_path) as f:
             return json.load(f)
 
-    def restore(self, target: Any, path: Optional[str] = None) -> Any:
+    def restore(
+        self,
+        target: Any,
+        path: Optional[str] = None,
+        preserve_shardings: bool = False,
+    ) -> Any:
         """Restore into the structure of ``target`` (an existing TrainState
         used as the abstract template).  ``path`` defaults to the latest.
+
+        ``preserve_shardings=True``: leaves whose ``target`` counterpart is a
+        `jax.Array` are restored DIRECTLY onto that array's devices with its
+        sharding — Orbax reads each shard straight into the right device
+        buffer (no full-array host materialization; on multi-host meshes
+        each process reads only its addressable shards), and the pickle
+        backend falls back to a `device_put` per leaf.  The default (False)
+        returns host arrays, matching the historical contract.
 
         Raises ValueError when the checkpoint's pytree structure does not
         match ``target`` — a silent flat-leaf-order unflatten would otherwise
@@ -169,14 +205,34 @@ class Checkpointer:
             import orbax.checkpoint as ocp
 
             # Orbax validates the stored tree against this abstract template
-            # itself and errors on mismatch.
+            # itself and errors on mismatch.  With preserve_shardings, the
+            # template carries each target leaf's sharding so Orbax loads
+            # shard-by-shard onto the owning devices.
             checkpointer = ocp.StandardCheckpointer()
-            abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), _to_numpy(target)
-            )
+
+            def _abstract(x):
+                arr = x if hasattr(x, "dtype") else np.asarray(x)
+                sharding = (
+                    x.sharding
+                    if preserve_shardings and isinstance(x, jax.Array)
+                    else None
+                )
+                return jax.ShapeDtypeStruct(
+                    arr.shape, arr.dtype, sharding=sharding
+                )
+
+            abstract = jax.tree.map(_abstract, target)
             restored = checkpointer.restore(path, abstract)
         leaves = jax.tree.leaves(restored)
-        return jax.tree.unflatten(target_treedef, leaves)
+        restored = jax.tree.unflatten(target_treedef, leaves)
+        if preserve_shardings and os.path.isfile(os.path.join(path, "state.pkl")):
+            # Pickle backend: place each host leaf onto its target sharding.
+            restored = jax.tree.map(
+                lambda t, r: jax.device_put(r, t.sharding)
+                if isinstance(t, jax.Array) else r,
+                target, restored,
+            )
+        return restored
 
     def _garbage_collect(self) -> None:
         if self.max_to_keep is None:

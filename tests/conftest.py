@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: --xla_backend_optimization_level=0 was evaluated for the compile-
+# bound tail (~2.3x faster compiles on test_integrators+test_models,
+# 148 s -> 65 s) and REJECTED: unoptimized executables run the
+# execution-bound end-to-end files ~3x slower (test_train.py 104 s ->
+# 321 s), a net loss for the whole suite — and XLA flags are process-
+# global, so the trade cannot be made per-file.
 
 import jax  # noqa: E402
 

@@ -310,3 +310,84 @@ def test_conv_trunk_tp_actually_shards_kernels():
     # The dense kernel stack is (4, 3, 3, 32, 32); sharded on c_out over 4
     # devices each shard is (4, 3, 3, 32, 8).
     assert "f32[4,3,3,32,8]" in hlo, "trunk kernel not channel-sharded"
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """preserve_shardings=True: a TP/DP-sharded TrainState checkpoints
+    WITHOUT a host gather and restores directly onto each leaf's devices
+    with its sharding intact (the scale path for states beyond host
+    memory)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from differential_equations_resnet_tpu.train import Checkpointer
+
+    model = build_single_block_resnet(
+        cifar10_single_block_config(num_layers=4, num_filters=8)
+    )
+    tx = make_adam()
+    mesh = create_mesh((4, 2), ("data", "model"))
+    state = create_train_state(model, jax.random.key(0), tx)
+    # Mixed placement: head sharded over 'model', the rest replicated —
+    # the dryrun's TP layout.
+    head_sharded = state.params["head"]._replace(
+        kernel=jax.device_put(
+            state.params["head"].kernel, NamedSharding(mesh, P(None, "model"))
+        ),
+        bias=jax.device_put(
+            state.params["head"].bias, NamedSharding(mesh, P("model"))
+        ),
+    )
+    replicated = NamedSharding(mesh, P())
+    state = jax.tree.map(lambda a: jax.device_put(a, replicated), state)
+    state = state._replace(params=dict(state.params, head=head_sharded))
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(state, step=7, metrics={"loss": 1.0}, preserve_shardings=True)
+
+    # Restore into a freshly placed target of the same shardings.
+    target = create_train_state(model, jax.random.key(1), tx)
+    target = jax.tree.map(lambda a: jax.device_put(a, replicated), target)
+    target = target._replace(
+        params=dict(
+            target.params,
+            head=target.params["head"]._replace(
+                kernel=jax.device_put(
+                    target.params["head"].kernel,
+                    NamedSharding(mesh, P(None, "model")),
+                ),
+                bias=jax.device_put(
+                    target.params["head"].bias, NamedSharding(mesh, P("model"))
+                ),
+            ),
+        )
+    )
+    restored = ckpt.restore(target, preserve_shardings=True)
+
+    assert restored.params["head"].kernel.sharding.is_equivalent_to(
+        target.params["head"].kernel.sharding,
+        target.params["head"].kernel.ndim,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["head"].kernel),
+        np.asarray(state.params["head"].kernel),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["stem"].kernel),
+        np.asarray(state.params["stem"].kernel),
+    )
+    assert int(restored.step) == int(state.step)
+
+    # The pickle backend covers the same surface via device_put placement.
+    pk = Checkpointer(str(tmp_path / "pk"), backend="pickle")
+    with pytest.raises(ValueError, match="orbax"):
+        pk.save(state, step=1, preserve_shardings=True)
+    pk.save(state, step=1)
+    restored_pk = pk.restore(target, preserve_shardings=True)
+    assert restored_pk.params["head"].bias.sharding.is_equivalent_to(
+        target.params["head"].bias.sharding,
+        target.params["head"].bias.ndim,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored_pk.params["head"].bias),
+        np.asarray(state.params["head"].bias),
+    )
