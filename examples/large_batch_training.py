@@ -32,6 +32,11 @@ def main() -> int:
     parser.add_argument("--num-layers", type=int, default=64)
     parser.add_argument("--num-filters", type=int, default=16)
     parser.add_argument("--cifar10-dir", default=None)
+    parser.add_argument("--accum-steps", type=int, default=1,
+                        help="gradient accumulation: microbatch each "
+                             "effective batch into this many sequential "
+                             "passes (identical numerics, 1/k activation "
+                             "memory — effective batches beyond HBM)")
     parser.add_argument("--compare-bf16", action="store_true",
                         help="run each batch size in fp32 AND bfloat16 "
                              "compute (same lr), reporting convergence "
@@ -94,6 +99,7 @@ def main() -> int:
             batch_size=batch,
             record_summaries=False,
             seed=0, data_seed=0,
+            accum_steps=args.accum_steps,
         )
         steps_per_epoch = len(train_x) // batch
         t0 = time.time()
@@ -110,6 +116,7 @@ def main() -> int:
         flops = single_block_train_flops(config, batch)
         runs.append({
             "batch": batch,
+            "accum_steps": args.accum_steps,
             "dtype": jnp.dtype(compute_dtype).name,
             "lr": lr,
             "steps": steps,
