@@ -368,6 +368,17 @@ def cmd_benchmark(args) -> int:
     return 0
 
 
+def _gradient_flow_diagnostics(th):
+    """The reference's three gradient-flow diagnostics (v7 notebook cells
+    30/34/38) from a TrainingHistory, under one shared key spelling for
+    every CLI consumer (analyze prefixes them with 'gradient_norm_')."""
+    return {
+        "relative_deviation": float(th.gradient_norm_relative_deviation()),
+        "standard_deviation": float(th.gradient_norm_standard_deviation()),
+        "last_first_ratio": float(th.gradient_norm_relative_comparison()),
+    }
+
+
 def cmd_analyze(args) -> int:
     from differential_equations_resnet_tpu.train import TrainingHistory
 
@@ -376,15 +387,8 @@ def cmd_analyze(args) -> int:
         evaluation_history_filepath=args.evaluation_csv,
     )
     out = {
-        "gradient_norm_relative_deviation": float(
-            th.gradient_norm_relative_deviation()
-        ),
-        "gradient_norm_standard_deviation": float(
-            th.gradient_norm_standard_deviation()
-        ),
-        "gradient_norm_last_first_ratio": float(
-            th.gradient_norm_relative_comparison()
-        ),
+        f"gradient_norm_{k}": v
+        for k, v in _gradient_flow_diagnostics(th).items()
     }
     if args.evaluation_csv:
         out["best_val_accuracy"] = float(th.evaluation_accuracy.max())
@@ -513,17 +517,7 @@ def _gradient_flow_vs_baseline(csv_dir, run_name, grad_baseline):
     if csvs:
         try:
             th = TrainingHistory(training_history_filepath=csvs[-1])
-            measured = {
-                "relative_deviation": float(
-                    th.gradient_norm_relative_deviation()
-                ),
-                "standard_deviation": float(
-                    th.gradient_norm_standard_deviation()
-                ),
-                "last_first_ratio": float(
-                    th.gradient_norm_relative_comparison()
-                ),
-            }
+            measured = _gradient_flow_diagnostics(th)
         except ValueError:
             # Zero telemetry rows (run shorter than summaries_frequency).
             pass
@@ -672,9 +666,11 @@ def main(argv=None) -> int:
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient accumulation: split each batch into this "
                         "many sequential microbatches and apply ONE averaged "
-                        "update — identical numerics to the monolithic step, "
-                        "peak activation memory of one microbatch (effective "
-                        "batches beyond HBM capacity)")
+                        "update — identical numerics to the monolithic step "
+                        "for BN-free models (with batch norm each microbatch "
+                        "normalizes by its own statistics), peak activation "
+                        "memory of one microbatch (effective batches beyond "
+                        "HBM capacity)")
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--cifar10-dir", default=None)
     p.add_argument("--synthetic-train-size", type=int, default=None,

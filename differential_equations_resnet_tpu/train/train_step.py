@@ -162,12 +162,27 @@ def _build_step_fn(
     (the reference is single-GPU, batch-32-bound; here an effective batch
     is bounded by dataset size, not memory).  Telemetry semantics are
     unchanged: one metrics row and one grad-norms row per UPDATE.
-    BatchNorm running stats, when enabled, update sequentially through the
-    microbatches (the standard accumulation semantics).
 
-    ``mesh`` is used only to pin each microbatch onto the 'data' axis —
-    without the constraint GSPMD may keep the reshaped microbatch
-    replicated and compute it redundantly on every device."""
+    The monolithic-equivalence contract holds for BN-free models (the
+    reference's published configs).  With ``use_batch_norm=True`` each
+    microbatch is normalized by its OWN batch statistics (and running
+    stats update sequentially through the microbatches — the standard
+    accumulation semantics), so the update approximates, not reproduces,
+    the monolithic step.
+
+    A traced batch whose size is not divisible by ``accum_steps`` (e.g. a
+    ragged epoch-tail batch from a dataset without drop_remainder) falls
+    back to the monolithic step for that trace: equal microbatches are
+    required for exact equivalence, and a ragged tail is smaller than the
+    regular batch, so its monolithic activations fit by construction.
+
+    ``mesh`` pins each microbatch onto the 'data' axis (without the
+    constraint GSPMD may keep the reshaped microbatch replicated and
+    compute it redundantly on every device) and selects a device-major
+    microbatch split so each device scans its OWN k local chunks —
+    microbatch membership is irrelevant to the averaged update, and the
+    contiguous split would force an all-to-all of the whole batch every
+    step."""
     config = model.config
     loss_fn = build_loss_fn(model, train=True)
     if accum_steps < 1:
@@ -183,17 +198,31 @@ def _build_step_fn(
         )
         return grads, new_model_state, loss, correct
 
+    def split_microbatches(a, mb):
+        if mesh is not None:
+            d = dict(mesh.shape).get("data", 1)
+            if d > 1 and mb % d == 0:
+                # Device-major split: microbatch i = the i-th local chunk of
+                # every device's contiguous row-block shard, so microbatches
+                # stay block-sharded over 'data' with zero resharding
+                # traffic (the contiguous split below would make device d's
+                # share of microbatch i live on another device for k > 1).
+                a = jnp.reshape(a, (d, accum_steps, mb // d) + a.shape[1:])
+                a = jnp.moveaxis(a, 1, 0)
+                return jnp.reshape(a, (accum_steps, mb) + a.shape[3:])
+        return jnp.reshape(a, (accum_steps, mb) + a.shape[1:])
+
     def accumulate(params, model_state, images, labels):
         n = images.shape[0]
         if n % accum_steps:
-            raise ValueError(
-                f"accum_steps={accum_steps} must divide the batch size "
-                f"(got {n}): gradient accumulation averages EQUAL "
-                f"microbatches so it reproduces the monolithic step exactly."
-            )
+            # Ragged epoch-tail batch (dataset without drop_remainder):
+            # equal microbatches are impossible, and the tail is smaller
+            # than the regular batch, so run it monolithically — identical
+            # numerics, bounded by the regular step's activation memory.
+            return grads_and_metrics(params, model_state, images, labels)
         mb = n // accum_steps
-        images_r = jnp.reshape(images, (accum_steps, mb) + images.shape[1:])
-        labels_r = jnp.reshape(labels, (accum_steps, mb) + labels.shape[1:])
+        images_r = split_microbatches(images, mb)
+        labels_r = split_microbatches(labels, mb)
 
         def body(carry, xy):
             acc, model_state = carry

@@ -88,7 +88,9 @@ class Training:
         # all epoch/step accounting is in effective batches); accum_steps
         # only caps peak activation memory at batch_size/accum_steps
         # examples.  See train_step._build_step_fn for the exactness
-        # contract (identical numerics to the monolithic step).
+        # contract (identical numerics to the monolithic step for BN-free
+        # models; with batch norm each microbatch normalizes by its own
+        # statistics, so accumulation approximates the monolithic step).
         self.accum_steps = int(accum_steps)
         if self.accum_steps < 1:
             raise ValueError(f"accum_steps must be >= 1, got {accum_steps}.")

@@ -848,9 +848,6 @@ def test_accum_validation():
     model = tiny_model()
     tx = make_adam()
     state, x, y = _accum_state_and_batch(model, tx)
-    step = make_train_step(model, tx, donate=False, accum_steps=5)
-    with pytest.raises(ValueError, match="divide"):
-        step(state, x, y, 1e-3)  # 5 does not divide 32 — trace-time error
     with pytest.raises(ValueError, match="accum_steps"):
         make_train_step(model, tx, donate=False, accum_steps=0)(
             state, x, y, 1e-3
@@ -859,6 +856,53 @@ def test_accum_validation():
         Training(model, batch_size=32, accum_steps=5, record_summaries=False)
     with pytest.raises(ValueError, match="accum_steps"):
         Training(model, batch_size=32, accum_steps=0, record_summaries=False)
+
+
+def test_accum_ragged_batch_falls_back_to_monolithic():
+    """A traced batch not divisible by accum_steps (the ragged epoch-tail
+    batch of a dataset without drop_remainder) must train monolithically —
+    identical numerics, no mid-epoch crash."""
+    model = tiny_model()
+    tx = make_adam()
+    state, x, y = _accum_state_and_batch(model, tx, batch=30)
+
+    mono = make_train_step(model, tx, donate=False)
+    accum = make_train_step(model, tx, donate=False, accum_steps=4)
+    s1, m1, g1 = mono(state, x, y, 1e-3)
+    s2, m2, g2 = accum(state, x, y, 1e-3)
+
+    assert float(m2["count"]) == 30.0
+    assert float(m2["loss"]) == float(m1["loss"])  # same program, bitwise
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(g1))
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_accum_dp_split_is_device_major_no_resharding():
+    """Under a DP mesh the microbatch split must keep each device's rows
+    local: the compiled accumulation step may psum gradients (all-reduce)
+    but must not reshard the batch (the contiguous split emits
+    collective-permute/all-gather of the whole batch every step)."""
+    from differential_equations_resnet_tpu.parallel import create_mesh
+    from differential_equations_resnet_tpu.parallel.mesh import (
+        shard_batch,
+        shard_params,
+    )
+
+    model = tiny_model()
+    tx = make_adam()
+    state, x, y = _accum_state_and_batch(model, tx)
+    mesh = create_mesh((8,), ("data",))
+    accum = make_train_step(model, tx, mesh=mesh, donate=False, accum_steps=2)
+    sharded_state = state._replace(
+        params=shard_params(mesh, state.params),
+        opt_state=shard_params(mesh, state.opt_state),
+    )
+    xs, ys = shard_batch(mesh, (np.asarray(x), np.asarray(y)))
+    hlo = accum.lower(sharded_state, xs, ys, 1e-3).compile().as_text()
+    assert "all-reduce" in hlo  # the gradient psum is still there
+    for op in ("all-to-all", "collective-permute", "all-gather"):
+        assert op not in hlo, f"batch resharding ({op}) in the accum step"
 
 
 def test_accum_device_epoch_matches():
