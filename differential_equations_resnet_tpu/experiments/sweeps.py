@@ -40,7 +40,13 @@ def imagenet32_config(
     **overrides,
 ) -> SingleBlockResNetConfig:
     """ImageNet-32-scale workload: 32x32 inputs, 1000 classes, wider trunk,
-    bf16 compute."""
+    bf16 compute.
+
+    Throughput note (docs/RESULTS.md section 6c): the bf16 MXU win at these
+    lane-filling widths engages at per-device batch >= 256 (1.56x over
+    fp32); at b <= 128 both dtypes run at the same rate, and fp32 at
+    b >= 256 loses ~35% to its conv lowering — benchmark wide trunks at
+    b=256 bf16 (46.4% MFU measured at 64Lx64F)."""
     return SingleBlockResNetConfig(
         image_shape=(32, 32, 3),
         kernel_type=kernel_type,

@@ -444,23 +444,26 @@ def test_l2_regularization_applied():
     np.testing.assert_allclose(penalty, w * manual, rtol=1e-5)
 
 
-def test_training_scan_steps_handles_ragged_batches(tmp_path):
+@pytest.mark.parametrize("accum_steps", [1, 3])
+def test_training_scan_steps_handles_ragged_batches(tmp_path, accum_steps):
     """A dataset without drop_remainder yields a short epoch-boundary batch;
-    the scan path must fall back to single steps, not crash in np.stack."""
+    the scan path must fall back to single steps, not crash in np.stack —
+    and with accumulation on, the ragged 16-sample batch (16 % 3 != 0) must
+    train monolithically rather than abort the epoch."""
     from differential_equations_resnet_tpu.data import create_dataset_from_arrays
     from differential_equations_resnet_tpu.data.cifar10 import synthetic_cifar10
 
-    train_x, train_y, *_ = synthetic_cifar10(80, 1, seed=0)  # 80 = 2x32 + 16
+    train_x, train_y, *_ = synthetic_cifar10(82, 1, seed=0)  # 82 = 2x33 + 16
     ds = create_dataset_from_arrays(
-        train_x, train_y, batch_size=32,
+        train_x, train_y, batch_size=33,
         shuffle=False, repeat=True, drop_remainder=False,
     )
     model = tiny_model(2, 8)
-    trainer = Training(model, train_dataset=ds, batch_size=32,
-                       record_summaries=True)
+    trainer = Training(model, train_dataset=ds, batch_size=33,
+                       record_summaries=True, accum_steps=accum_steps)
     trainer.train(
         epochs=1,
-        steps_per_epoch=6,   # crosses the ragged 16-sample batch
+        steps_per_epoch=6,   # crosses the ragged 16-sample batch (16 % 3 != 0)
         learning_rate_schedule=constant_schedule(1e-3),
         eval_frequency=None,
         scan_steps=3,
