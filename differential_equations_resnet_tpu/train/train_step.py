@@ -23,6 +23,7 @@ distinct entries (the cache never conflates by value).
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -201,6 +202,16 @@ def _build_step_fn(
     def split_microbatches(a, mb):
         if mesh is not None:
             d = dict(mesh.shape).get("data", 1)
+            if d > 1 and mb % d:
+                warnings.warn(
+                    f"accum_steps={accum_steps}: microbatch size {mb} does "
+                    f"not divide the mesh's data axis ({d}), so the "
+                    "contiguous split is used and GSPMD reshards the batch "
+                    "every microbatch — pick accum_steps so batch/"
+                    "accum_steps is a multiple of the data-axis size for "
+                    "the zero-resharding device-major split.",
+                    stacklevel=2,
+                )
             if d > 1 and mb % d == 0:
                 # Device-major split: microbatch i = the i-th local chunk of
                 # every device's contiguous row-block shard, so microbatches
@@ -219,6 +230,16 @@ def _build_step_fn(
             # equal microbatches are impossible, and the tail is smaller
             # than the regular batch, so run it monolithically — identical
             # numerics, bounded by the regular step's activation memory.
+            # The warning distinguishes this from a misconfigured
+            # accum_steps that silently disables the memory savings on
+            # EVERY batch (Training validates batch_size % accum_steps up
+            # front; direct step-builder users see this once per trace).
+            warnings.warn(
+                f"batch of {n} is not divisible by accum_steps="
+                f"{accum_steps}; training it monolithically (full-batch "
+                "activation memory for this batch shape).",
+                stacklevel=2,
+            )
             return grads_and_metrics(params, model_state, images, labels)
         mb = n // accum_steps
         images_r = split_microbatches(images, mb)
@@ -294,8 +315,9 @@ def make_train_step(
     metrics = {'loss', 'correct', 'count'} (device scalars for the streaming
     accumulators); grad_norms = (1 + num_layers,) per SURVEY.md section 5.5.
     ``accum_steps=k``: split the batch into k sequential microbatches and
-    apply ONE averaged update (see `_build_step_fn` — exact monolithic-step
-    numerics at one-microbatch activation memory).
+    apply ONE averaged update at one-microbatch activation memory — the
+    monolithic step's numerics for BN-free models; see `_build_step_fn`
+    for the batch-norm scoping and the ragged-batch monolithic fallback.
     """
     model = _bind_mesh(model, mesh)
     step_fn = _build_step_fn(
@@ -404,6 +426,18 @@ def make_device_epoch(
     inside the step (see `_build_step_fn`) — `batch_size` stays the
     EFFECTIVE batch, so the without-replacement accounting is unchanged.
     """
+    if batch_size % accum_steps:
+        # Every gathered batch here is exactly batch_size (dynamic_slice of
+        # the permutation) — a non-dividing accum_steps can never be a
+        # ragged tail, only a misconfiguration that would silently disable
+        # the memory savings on every step.  batch_size is static at build
+        # time, so fail loudly now.
+        raise ValueError(
+            f"accum_steps ({accum_steps}) must divide batch_size "
+            f"({batch_size}): the device-resident epoch gathers exact "
+            "batch_size batches, so a non-dividing accum_steps would fall "
+            "back to the monolithic step on every batch."
+        )
     model = _bind_mesh(model, mesh)
     step_fn = _build_step_fn(
         model, tx, with_gradient_metrics, accum_steps=accum_steps, mesh=mesh

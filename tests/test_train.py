@@ -848,6 +848,10 @@ def test_accum_step_under_dp_mesh():
 
 
 def test_accum_validation():
+    from differential_equations_resnet_tpu.train.train_step import (
+        make_device_epoch,
+    )
+
     model = tiny_model()
     tx = make_adam()
     state, x, y = _accum_state_and_batch(model, tx)
@@ -859,6 +863,10 @@ def test_accum_validation():
         Training(model, batch_size=32, accum_steps=5, record_summaries=False)
     with pytest.raises(ValueError, match="accum_steps"):
         Training(model, batch_size=32, accum_steps=0, record_summaries=False)
+    # The device-resident epoch gathers exact batch_size batches, so a
+    # non-dividing accum_steps is always a misconfiguration: build-time error.
+    with pytest.raises(ValueError, match="divide batch_size"):
+        make_device_epoch(model, tx, batch_size=32, accum_steps=5)
 
 
 def test_accum_ragged_batch_falls_back_to_monolithic():
@@ -872,7 +880,8 @@ def test_accum_ragged_batch_falls_back_to_monolithic():
     mono = make_train_step(model, tx, donate=False)
     accum = make_train_step(model, tx, donate=False, accum_steps=4)
     s1, m1, g1 = mono(state, x, y, 1e-3)
-    s2, m2, g2 = accum(state, x, y, 1e-3)
+    with pytest.warns(UserWarning, match="monolithically"):
+        s2, m2, g2 = accum(state, x, y, 1e-3)
 
     assert float(m2["count"]) == 30.0
     assert float(m2["loss"]) == float(m1["loss"])  # same program, bitwise
