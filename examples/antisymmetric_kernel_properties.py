@@ -20,6 +20,7 @@ where it held only because dependent TF variables were re-derived).
     python examples/antisymmetric_kernel_properties.py
 """
 
+import _bootstrap  # noqa: F401  (repo-root import shim for source checkouts)
 import argparse
 
 import numpy as np

@@ -10,6 +10,7 @@ tree is written first so the example is self-contained.
     python examples/bottleneck_resnet_records.py [--images DIR] [--image-size 64]
 """
 
+import _bootstrap  # noqa: F401  (repo-root import shim for source checkouts)
 import argparse
 import os
 import tempfile

@@ -12,6 +12,7 @@ Without CIFAR-10 on disk the script runs on synthetic data (useful as a
 pipeline smoke test; the published numbers require the real dataset).
 """
 
+import _bootstrap  # noqa: F401  (repo-root import shim for source checkouts)
 import argparse
 import glob
 import json

@@ -6,6 +6,7 @@ workflow of the reference's `double_load_weights`
     python examples/depth_doubling_continuation.py [--start-layers 8]
 """
 
+import _bootstrap  # noqa: F401  (repo-root import shim for source checkouts)
 import argparse
 import json
 

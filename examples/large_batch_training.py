@@ -14,6 +14,7 @@ automatically (packed at b=32, direct at b>=64) — no knobs.
 Run (TPU): python examples/large_batch_training.py --epochs 3
 """
 
+import _bootstrap  # noqa: F401  (repo-root import shim for source checkouts)
 import argparse
 import json
 import sys

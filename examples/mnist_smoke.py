@@ -12,6 +12,7 @@ the deterministic synthetic fallback (zero-egress hosts).
     python examples/mnist_smoke.py [--mnist-dir DIR] [--epochs 1]
 """
 
+import _bootstrap  # noqa: F401  (repo-root import shim for source checkouts)
 import argparse
 
 import numpy as np
