@@ -355,16 +355,29 @@ def cmd_benchmark(args) -> int:
     _ = float(out[0, 0])  # device-completion sync
     latency_ms = (time.perf_counter() - t0) / 100 * 1e3
 
-    print(
-        json.dumps(
-            {
-                "train_steps_per_sec": round(train_sps, 3),
-                "inference_latency_batch1_ms": round(latency_ms, 4),
-                "inference_fps_batch1": round(1e3 / latency_ms, 1),
-                "device": str(jax.devices()[0]),
-            }
+    out = {
+        "train_steps_per_sec": round(train_sps, 3),
+        "train_img_per_sec": round(train_sps * args.batch_size, 1),
+        "inference_latency_batch1_ms": round(latency_ms, 4),
+        "inference_fps_batch1": round(1e3 / latency_ms, 1),
+        "device": str(jax.devices()[0]),
+    }
+    # Absolute-utilization accounting (same convention as bench.py: nominal
+    # MODEL FLOPs over the v5e bf16 peak) — single-block family only; the
+    # bottleneck presets have no nominal-FLOPs model here.
+    from differential_equations_resnet_tpu.models import SingleBlockResNetConfig
+
+    if isinstance(model.config, SingleBlockResNetConfig):
+        from differential_equations_resnet_tpu.utils.flops import (
+            mfu,
+            single_block_train_flops,
         )
-    )
+
+        flops_step = single_block_train_flops(model.config, args.batch_size)
+        out["model_flops_per_step"] = flops_step
+        out["model_tflops"] = round(flops_step * train_sps / 1e12, 2)
+        out["mfu_vs_bf16_peak"] = round(mfu(flops_step, train_sps), 4)
+    print(json.dumps(out))
     return 0
 
 

@@ -68,6 +68,13 @@ def test_cli_benchmark_smoke(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["train_steps_per_sec"] > 0
     assert out["inference_latency_batch1_ms"] > 0
+    # Utilization accounting (bench.py convention) on the single-block family.
+    assert out["model_flops_per_step"] > 0
+    assert out["model_tflops"] >= 0  # rounds to 0.00 for this tiny config
+    assert 0 <= out["mfu_vs_bf16_peak"] <= 1
+    assert out["train_img_per_sec"] == pytest.approx(
+        out["train_steps_per_sec"] * 8, abs=0.2
+    )
 
 
 def test_cli_deep_stability_smoke(capsys):
