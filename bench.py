@@ -84,11 +84,38 @@ def _measure_device_epoch(model, tx, batch_size, scan_k, measure_chunks,
 
 
 def main() -> None:
+    import os
+    import sys
+    import threading
+
+    # Fail fast (with a diagnostic) if the TPU backend never initializes:
+    # on tunneled backends a dead service makes jax.devices() hang forever,
+    # which would otherwise surface only as an opaque harness timeout.
+    backend_up = threading.Event()
+
+    def _watchdog():
+        if not backend_up.wait(timeout=300.0):
+            print(
+                "bench.py: backend initialization did not complete within "
+                "300 s — the TPU service/tunnel is unreachable (healthy "
+                "init takes seconds). Aborting instead of hanging.",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     from differential_equations_resnet_tpu.utils.compile_cache import (
         enable_compile_cache,
     )
 
     enable_compile_cache()
+
+    import jax
+
+    jax.devices()
+    backend_up.set()
 
     from differential_equations_resnet_tpu.data.cifar10 import (
         find_cifar10_directory,
