@@ -21,9 +21,16 @@ accounting (VERDICT r2 tasks 1/7): nominal model FLOPs/step
 (`utils/flops.py` — NOT the s2d-packed implementation FLOPs), img/s, achieved
 model TFLOPS, MFU against the v5e 197-TFLOPS bf16 peak, and the fraction of
 the documented practical single-chip floor (docs/RESULTS.md roofline:
-~2.4 ms/step for the b=32 packed step), plus a `large_batch` section
-measuring the b=256 direct-layout device-resident frontier (the measured
-img/s peak of the batch sweep, ~2.4x over b=32; docs/RESULTS.md section 6c).
+~2.4 ms/step for the b=32 packed step), plus two frontier sections
+(docs/RESULTS.md section 6c; VERDICT r3 next-round item 1):
+  - `large_batch`: the b=256 device-resident img/s peak of the batch sweep
+    in BOTH dtypes — fp32 (the default) and bf16 (the measured absolute
+    img/s peak, 29.5k), so regressions in the bf16 path are visible in the
+    artifact trail;
+  - `wide_trunk`: the 64Lx64F 1000-class b=256 bf16 row — the measured MFU
+    peak (46.4% / 91 model TFLOPS), demonstrating the compute path is
+    MXU-bound at lane-filling widths (the headline model is too narrow to
+    exercise the FLOP ceiling).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -151,12 +158,53 @@ def main() -> None:
 
     # Large-batch frontier: b=256 (the measured img/s peak of the batch
     # sweep, docs/RESULTS.md section 6c), direct layout (the mesh-aware row
-    # gate declines s2d packing above 32768 rows/device automatically).
+    # gate declines s2d packing above 32768 rows/device automatically) —
+    # in BOTH dtypes: fp32 is the config default; bf16 is the measured
+    # absolute img/s peak (29.5k img/s), carried here so the artifact trail
+    # pins the frontier the docs claim (VERDICT r3 next-round item 1).
+    import jax.numpy as jnp
+
     lb_batch, lb_scan_k, lb_chunks = 256, 125, 2
-    lb_steps_per_sec = _measure_device_epoch(
-        model, tx, lb_batch, lb_scan_k, lb_chunks, images, labels, seed0=100
+
+    def lb_section(model_lb):
+        sps = _measure_device_epoch(
+            model_lb, tx, lb_batch, lb_scan_k, lb_chunks, images, labels,
+            seed0=100,
+        )
+        fl = single_block_train_flops(model_lb.config, lb_batch)
+        return {
+            "steps_per_sec": round(sps, 3),
+            "img_per_sec": round(sps * lb_batch, 1),
+            "model_tflops": round(fl * sps / 1e12, 2),
+            "mfu_vs_bf16_peak": round(mfu(fl, sps), 4),
+        }
+
+    model_bf16 = build_single_block_resnet(
+        cifar10_single_block_config(compute_dtype=jnp.bfloat16)
     )
-    lb_flops_step = single_block_train_flops(config, lb_batch)
+    large_batch = {
+        "batch": lb_batch,
+        "fp32": lb_section(model),
+        "bf16": lb_section(model_bf16),
+    }
+
+    # Wide-trunk MFU row: 64Lx64F, 1000 classes, b=256, bf16 — the measured
+    # absolute utilization peak (46.4% MFU / 91 model TFLOPS on one v5e,
+    # docs/RESULTS.md section 6c).  The lane-filling C=64 trunk is where the
+    # compute path is MXU-bound; at the headline C=16 the conv occupies 16
+    # of 128 MXU lanes and MFU is structurally capped.
+    from differential_equations_resnet_tpu.experiments import imagenet32_config
+
+    wt_config = imagenet32_config(
+        num_layers=64, num_filters=64, compute_dtype=jnp.bfloat16
+    )
+    wt_model = build_single_block_resnet(wt_config)
+    wt_batch, wt_scan_k, wt_chunks = 256, 40, 2
+    wt_steps_per_sec = _measure_device_epoch(
+        wt_model, tx, wt_batch, wt_scan_k, wt_chunks, images, labels,
+        seed0=200,
+    )
+    wt_flops_step = single_block_train_flops(wt_config, wt_batch)
 
     print(
         json.dumps(
@@ -173,15 +221,16 @@ def main() -> None:
                 "pct_of_practical_floor": round(
                     steps_per_sec / PRACTICAL_FLOOR_STEPS_PER_SEC, 3
                 ),
-                "large_batch": {
-                    "batch": lb_batch,
-                    "steps_per_sec": round(lb_steps_per_sec, 3),
-                    "img_per_sec": round(lb_steps_per_sec * lb_batch, 1),
+                "large_batch": large_batch,
+                "wide_trunk": {
+                    "config": "64Lx64F_1000c_b256_bf16",
+                    "steps_per_sec": round(wt_steps_per_sec, 3),
+                    "img_per_sec": round(wt_steps_per_sec * wt_batch, 1),
                     "model_tflops": round(
-                        lb_flops_step * lb_steps_per_sec / 1e12, 2
+                        wt_flops_step * wt_steps_per_sec / 1e12, 2
                     ),
                     "mfu_vs_bf16_peak": round(
-                        mfu(lb_flops_step, lb_steps_per_sec), 4
+                        mfu(wt_flops_step, wt_steps_per_sec), 4
                     ),
                 },
             }

@@ -139,3 +139,50 @@ def _euler_relu_bwd(h, residuals, g):
 
 
 _euler_relu_step.defvjp(_euler_relu_fwd, _euler_relu_bwd)
+
+
+def conv_relu_field(y: jax.Array, kernel: jax.Array, bias: jax.Array):
+    """One ODE field evaluation ``relu(conv(y, K) + b)`` with the same
+    memory-lean custom VJP as :func:`euler_relu_step` — default autodiff
+    would save the fp32 pre-activation z, but the backward relu' needs only
+    its SIGN, so the residual is a bool mask (1 byte/elem instead of 4).
+
+    This is the building block of the multi-eval integrators
+    (midpoint/rk4): each Runge-Kutta stage evaluation inside the depth scan
+    saves (stage input, mask) instead of (stage input, fp32 z), so across
+    L layers the saved-residual HBM traffic drops by ~(stages * 3)/(stages *
+    1.25) relative to plain autodiff.  ``bias`` must be an array (see the
+    euler_relu_step note — a None bias surfaces as an opaque custom_vjp
+    pytree error under grad)."""
+    if bias is None:
+        raise ValueError(
+            "conv_relu_field requires an array bias (got None); pass "
+            "jnp.zeros(channels) for a bias-free field."
+        )
+    return _conv_relu_field(y, kernel, bias)
+
+
+@jax.custom_vjp
+def _conv_relu_field(y, kernel, bias):
+    return jax.nn.relu(conv2d_same(y, kernel, bias=bias))
+
+
+def _conv_relu_field_fwd(y, kernel, bias):
+    z = conv2d_same(y, kernel, bias=bias)
+    return jax.nn.relu(z), (y, kernel, z > 0)
+
+
+def _conv_relu_field_bwd(residuals, g):
+    y, kernel, mask = residuals
+    g_z = jnp.where(mask, g, 0.0).astype(g.dtype)
+    (dy,) = jax.linear_transpose(
+        lambda yy: conv2d_same(yy, kernel), y
+    )(g_z)
+    (dk,) = jax.linear_transpose(
+        lambda kk: conv2d_same(y, kk), kernel
+    )(g_z)
+    db = jnp.sum(g_z, axis=(0, 1, 2))
+    return dy, dk, db
+
+
+_conv_relu_field.defvjp(_conv_relu_field_fwd, _conv_relu_field_bwd)

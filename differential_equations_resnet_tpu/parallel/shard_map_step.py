@@ -19,6 +19,8 @@ section 2.3) — this component is new, TPU-native by construction.
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -40,6 +42,7 @@ def make_shard_map_train_step(
     axis: str = "data",
     with_gradient_metrics: bool = True,
     donate: bool = True,
+    accum_steps: int = 1,
 ):
     """Build a jitted shard_map train step with explicit collectives:
     (state, images, labels, lr) -> (state, metrics, grad_norms).
@@ -49,6 +52,19 @@ def make_shard_map_train_step(
     is the mean over the per-device batch shard, `pmean` over the axis makes
     the gradient the global-batch mean, and correct/count are `psum`ed so
     streaming accuracy matches the single-device run.
+
+    ``accum_steps=k > 1``: gradient accumulation composed with the explicit
+    collectives (VERDICT r3 item 4 — previously only the jit-sharded path
+    took it).  Each device splits its LOCAL batch shard into k contiguous
+    microbatches (the shard is already device-local, so the split is
+    zero-resharding by construction — the device-major concern of the jit
+    path's `split_microbatches` does not arise here), scans them
+    sequentially accumulating gradients, and the pmean/psum collectives run
+    ONCE per update on the averaged result — k times less ICI gradient
+    traffic than k independent steps, and the same numerics as the
+    monolithic global-batch step (mean of equal microbatch means).  A local
+    shard not divisible by k falls back to the monolithic step for that
+    trace with a warning (same contract as train_step._build_step_fn).
 
     BatchNorm models are rejected: per-shard batch statistics pmean'd after
     the fact are NOT the global-batch statistics the jit-sharded path
@@ -62,15 +78,60 @@ def make_shard_map_train_step(
             "(per-shard batch statistics != global-batch statistics); use "
             "make_train_step(mesh=...) instead."
         )
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}.")
 
     loss_fn = build_loss_fn(model, train=True)
 
-    def per_shard(state: TrainState, images, labels, lr):
+    def local_grads(params, model_state, images, labels):
         (loss, (new_model_state, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.model_state, images, labels)
+        )(params, model_state, images, labels)
+        predictions = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum(
+            (predictions == _labels_argmax(labels)).astype(jnp.float32)
+        )
+        return grads, new_model_state, loss, correct
 
-        # Explicit DP reductions over ICI.
+    def local_accumulate(params, model_state, images, labels):
+        n = images.shape[0]
+        if accum_steps == 1:
+            return local_grads(params, model_state, images, labels)
+        if n % accum_steps:
+            warnings.warn(
+                f"local batch shard of {n} is not divisible by accum_steps="
+                f"{accum_steps}; training it monolithically (full-shard "
+                "activation memory for this batch shape).",
+                stacklevel=2,
+            )
+            return local_grads(params, model_state, images, labels)
+        mb = n // accum_steps
+        images_r = jnp.reshape(images, (accum_steps, mb) + images.shape[1:])
+        labels_r = jnp.reshape(labels, (accum_steps, mb) + labels.shape[1:])
+
+        def body(carry, xy):
+            acc, model_state = carry
+            x, y = xy
+            grads, model_state, loss, correct = local_grads(
+                params, model_state, x, y
+            )
+            acc = jax.tree.map(jnp.add, acc, grads)
+            return (acc, model_state), (loss, correct)
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (acc, new_model_state), (losses, corrects) = jax.lax.scan(
+            body, (zeros, model_state), (images_r, labels_r)
+        )
+        grads = jax.tree.map(lambda g: g / accum_steps, acc)
+        return grads, new_model_state, jnp.mean(losses), jnp.sum(corrects)
+
+    def per_shard(state: TrainState, images, labels, lr):
+        grads, new_model_state, loss, correct = local_accumulate(
+            state.params, state.model_state, images, labels
+        )
+
+        # Explicit DP reductions over ICI — once per UPDATE, on the
+        # microbatch-averaged local result.
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         new_model_state = jax.lax.pmean(new_model_state, axis)
@@ -85,11 +146,7 @@ def make_shard_map_train_step(
         updates, opt_state = tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        predictions = jnp.argmax(logits, axis=-1)
-        correct = jax.lax.psum(
-            jnp.sum((predictions == _labels_argmax(labels)).astype(jnp.float32)),
-            axis,
-        )
+        correct = jax.lax.psum(correct, axis)
         count = jax.lax.psum(
             jnp.asarray(images.shape[0], jnp.float32), axis
         )

@@ -156,14 +156,37 @@ def numpy_dense_kernels_from_kxk(blocks, kernel_size, gamma, antisymmetric):
     return kernels
 
 
+def _numpy_integrator_step(x, kernel, bias, h, method):
+    """One fp64 integrator step of dY/dt = relu(conv(Y) + b) — euler is the
+    reference residual block (`models/tfkeras_resnets.py:69-92`); midpoint
+    and rk4 are the multi-eval generalizations (ops/integrators.py)."""
+
+    def f(y):
+        return np.maximum(numpy_conv2d_same(y, kernel, bias=bias), 0.0)
+
+    if method == "euler":
+        return x + h * f(x)
+    if method == "midpoint":
+        return x + h * f(x + 0.5 * h * f(x))
+    if method == "rk4":
+        k1 = f(x)
+        k2 = f(x + 0.5 * h * k1)
+        k3 = f(x + 0.5 * h * k2)
+        k4 = f(x + h * k3)
+        return x + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+    raise ValueError(method)
+
+
 def numpy_single_block_forward(params, x, config):
     """Independent fp64 re-execution of the reference single-block forward:
     normalization -> stem conv + relu -> L x (y + h*relu(conv(y) + b)) ->
-    GAP -> dense -> softmax (`models/tfkeras_resnets.py:28-94,547-602`).
+    GAP -> dense -> softmax (`models/tfkeras_resnets.py:28-94,547-602`),
+    generalized over the integrator (euler/midpoint/rk4 — the multi-eval
+    variants are the repo's TPU-native extension, ops/integrators.py).
 
-    Scoped to the reference experiment family: identity-only stages, Euler
-    blocks, no BatchNorm, no pooling.  Returns (probs, logits)."""
-    assert not config.use_batch_norm and config.integrator == "euler"
+    Scoped to the reference experiment family: identity-only stages, no
+    BatchNorm, no pooling.  Returns (probs, logits)."""
+    assert not config.use_batch_norm
     x = np.asarray(x, np.float64)
     if config.subtract_mean is not None:
         x = x - np.float64(config.subtract_mean)
@@ -192,8 +215,9 @@ def numpy_single_block_forward(params, x, config):
             kernels = [np.asarray(k, np.float64) for k in blocks.kernel]
             biases = np.asarray(blocks.bias, np.float64)
         for layer, kernel in enumerate(kernels):
-            z = numpy_conv2d_same(x, kernel, bias=biases[layer])
-            x = x + config.h * np.maximum(z, 0.0)
+            x = _numpy_integrator_step(
+                x, kernel, biases[layer], config.h, config.integrator
+            )
 
     x = x.mean(axis=(1, 2))  # global average pool
     head = params["head"]

@@ -272,6 +272,71 @@ def test_euler_relu_step_custom_vjp_matches_autodiff():
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-6)
 
 
+def test_fp32_large_batch_cliff_warning():
+    """The trace-time fp32 conv-cliff advisory (docs/RESULTS.md section 6c)
+    fires at 64F/b256/fp32 on a TPU platform, and NOT at b128, bf16, CPU, or
+    narrow trunks; under DP it keys on PER-DEVICE batch (VERDICT r3 item 3)."""
+    import warnings as _warnings
+
+    from differential_equations_resnet_tpu.experiments import imagenet32_config
+
+    def fired(batch, **overrides):
+        config = imagenet32_config(num_layers=2, **overrides)
+        model = build_single_block_resnet(config)
+        params, state = model.init(jax.random.key(0))
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter("always")
+            jax.eval_shape(
+                lambda p, s, x: model.apply(p, s, x, return_logits=True),
+                params, state, jnp.zeros((batch, 32, 32, 3), jnp.float32),
+            )
+        return any("fp32 conv-lowering cliff" in str(w.message) for w in rec)
+
+    fp32 = dict(compute_dtype=jnp.float32, device_platform="tpu")
+    assert fired(256, num_filters=64, **fp32)
+    assert not fired(128, num_filters=64, **fp32)
+    assert not fired(
+        256, num_filters=64, compute_dtype=jnp.bfloat16, device_platform="tpu"
+    )
+    # The measurement is a TPU conv-emitter property: no warning on CPU.
+    assert not fired(256, num_filters=64, compute_dtype=jnp.float32)
+    # Narrow trunks (the headline C=16) are NOT in the cliff regime.
+    assert not fired(256, num_filters=16, **fp32)
+    # DP mesh context: global b=2048 over 8 devices = 256/device -> fires;
+    # global b=256 over 8 devices = 32/device -> silent.
+    assert fired(2048, num_filters=64, data_axis_size=8, **fp32)
+    assert not fired(256, num_filters=64, data_axis_size=8, **fp32)
+
+
+def test_conv_relu_field_custom_vjp_matches_autodiff():
+    """The bool-mask custom VJP of the ODE field relu(conv(y,K)+b) — the
+    per-stage evaluation of the midpoint/rk4 fast path — must be
+    grad-identical to plain autodiff, for y, kernel, and bias."""
+    from differential_equations_resnet_tpu.ops.conv import (
+        conv2d_same,
+        conv_relu_field,
+    )
+
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.normal(size=(4, 8, 8, 6)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 6, 6)), jnp.float32) * 0.2
+    b = jnp.asarray(rng.normal(size=(6,)), jnp.float32) * 0.1
+    g = jnp.asarray(rng.normal(size=y.shape), jnp.float32)
+
+    def reference(y, k, b):
+        return jax.nn.relu(conv2d_same(y, k, bias=b))
+
+    out_ref, vjp_ref = jax.vjp(reference, y, k, b)
+    out_new, vjp_new = jax.vjp(conv_relu_field, y, k, b)
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_new))
+    for a, bb in zip(vjp_ref(g), vjp_new(g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-6
+        )
+    with pytest.raises(ValueError):
+        conv_relu_field(y, k, None)
+
+
 def test_single_block_euler_fast_path_grad_parity():
     """The model's euler fast path (custom-VJP scan) produces the same loss
     and gradients as the generic integrate() path (midpoint machinery

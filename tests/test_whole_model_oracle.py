@@ -128,6 +128,52 @@ def test_gradient_matches_finite_difference_of_oracle(kernel_type):
         np.testing.assert_allclose(analytic, fd, rtol=5e-3, atol=1e-7)
 
 
+@pytest.mark.parametrize("integrator", ["midpoint", "rk4"])
+def test_whole_model_oracle_multieval_forward_and_fd_gradient(integrator):
+    """The multi-eval integrators against the fp64 oracle (round 4: they now
+    run the bool-mask custom-VJP field + packed fast path,
+    models/single_block_resnet.py::_apply_identity_blocks_multieval):
+    forward logits parity, plus finite-difference directional derivatives of
+    the oracle loss against the JAX backward — an independent check of the
+    conv_relu_field custom VJP threaded through the Runge-Kutta stages."""
+    config = tiny_config(integrator=integrator)
+    model, params, state, x, y = _setup(config, batch=2, seed=2)
+    y = jnp.asarray(y)
+
+    logits, _ = model.apply(params, state, x, return_logits=True)
+    params_np = jax.tree.map(np.asarray, params)
+    _, ref_logits = numpy_single_block_forward(params_np, x, config)
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_logits, rtol=2e-5, atol=2e-5
+    )
+
+    def loss_fn(p):
+        logits, _ = model.apply(p, state, x, return_logits=True)
+        return cross_entropy_from_logits(logits, y)
+
+    grads = jax.grad(loss_fn)(params)
+    grad_leaves = [np.asarray(g, np.float64) for g in jax.tree.leaves(grads)]
+    params64 = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+    leaves, treedef = jax.tree.flatten(params64)
+
+    def oracle_loss(leaves64):
+        p = jax.tree.unflatten(treedef, leaves64)
+        _, logits = numpy_single_block_forward(p, x, config)
+        return numpy_softmax_ce(logits, np.asarray(y))
+
+    rng = np.random.default_rng(11)
+    eps = 1e-5
+    for _ in range(2):
+        direction = [rng.standard_normal(l.shape) for l in leaves]
+        norm = np.sqrt(sum((d * d).sum() for d in direction))
+        direction = [d / norm for d in direction]
+        plus = [l + eps * d for l, d in zip(leaves, direction)]
+        minus = [l - eps * d for l, d in zip(leaves, direction)]
+        fd = (oracle_loss(plus) - oracle_loss(minus)) / (2 * eps)
+        analytic = sum((g * d).sum() for g, d in zip(grad_leaves, direction))
+        np.testing.assert_allclose(analytic, fd, rtol=5e-3, atol=1e-7)
+
+
 def test_whole_model_forward_oracle_centrosymmetric_5x5():
     """The general k x k path at kernel_size=5: whole-model fp64 oracle
     parity (scalar-loop kernel assembly + 5x5 SAME conv, independent of the
