@@ -134,15 +134,22 @@ class Checkpointer:
         # Sidecar metadata: machine-readable step + monitored metrics (so
         # resume restores the best-metric watermark from the payload, not by
         # regex-parsing the %.4f-rounded directory name) and the treedef
-        # fingerprint for structure-drift detection on restore.
-        meta = {
-            "step": int(step),
-            "metrics": {k: float(v) for k, v in (metrics or {}).items()},
-            "treedef": str(jax.tree.structure(state)),
-        }
-        with open(path + ".meta.json", "w") as f:
-            json.dump(meta, f)
-        self._garbage_collect()
+        # fingerprint for structure-drift detection on restore.  On a
+        # multi-host mesh `save` runs on EVERY process (each writes its
+        # addressable shards through Orbax), but the sidecar and the
+        # garbage collection are host-side single-writer operations on the
+        # shared filesystem — concurrent writers would race the json write
+        # and double-rmtree stale checkpoints — so only process 0 performs
+        # them.
+        if jax.process_index() == 0:
+            meta = {
+                "step": int(step),
+                "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+                "treedef": str(jax.tree.structure(state)),
+            }
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f)
+            self._garbage_collect()
         return path
 
     def read_meta(self, path: str) -> Optional[dict]:

@@ -3,16 +3,20 @@
 Each process owns 4 virtual CPU devices; together they form one 8-device
 global 'data' mesh.  Exercises jax.distributed initialization, per-host
 input sharding (`local_batch_slice` + `jax.make_array_from_process_local_data`),
-a cross-process collective (global sum over the data axis), and one global
-data-parallel train step on a tiny model.
+a cross-process collective (global sum over the data axis), one global
+data-parallel train step on a tiny model, the EXPLICIT-collective shard_map
+train step (plain and gradient-accumulating) parity-checked against it, and
+a sharding-preserving checkpoint save/restore where each process writes and
+reads only its addressable shards (VERDICT r3 item 7).
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port>
+Usage: python multihost_worker.py <process_id> <num_processes> <port> <ckpt_dir>
 """
 
 import os
 import sys
 
 process_id, num_processes, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+ckpt_dir = sys.argv[4]
 
 # Force exactly 4 local devices, overriding any inherited count (pytest's
 # conftest exports an 8-device flag that children would otherwise inherit).
@@ -93,5 +97,58 @@ new_state, metrics, grad_norms = step(state, x, y, 1e-3)
 loss = float(jax.device_get(metrics["loss"]))
 assert np.isfinite(loss)
 assert int(jax.device_get(new_state.step)) == 1
+
+# --- explicit-collective (shard_map) train step across processes ------------
+# Same state/batch through make_shard_map_train_step: the lax.pmean gradient
+# reduction now spans BOTH processes' devices, and the resulting loss must
+# match the jit-sharded step's.  The accumulating variant splits each
+# device's 2-row local shard into 2 microbatches and must still agree
+# (monolithic-equivalence across processes).
+from differential_equations_resnet_tpu.parallel import (  # noqa: E402
+    make_shard_map_train_step,
+)
+
+sm_step = make_shard_map_train_step(model, tx, mesh, donate=False)
+sm_state, sm_metrics, _ = sm_step(state, x, y, jnp.float32(1e-3))
+sm_loss = float(jax.device_get(sm_metrics["loss"]))
+np.testing.assert_allclose(sm_loss, loss, rtol=1e-5)
+
+sm_accum = make_shard_map_train_step(
+    model, tx, mesh, donate=False, accum_steps=2
+)
+_, acc_metrics, _ = sm_accum(state, x, y, jnp.float32(1e-3))
+np.testing.assert_allclose(
+    float(jax.device_get(acc_metrics["loss"])), loss, rtol=1e-5
+)
+for a, b in zip(jax.tree.leaves(sm_state.params), jax.tree.leaves(new_state.params)):
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(a.addressable_shards[0].data)),
+        np.asarray(jax.device_get(b.addressable_shards[0].data)),
+        rtol=2e-4, atol=1e-6,
+    )
+
+# --- sharding-preserving checkpoint across processes ------------------------
+# Save {post-step TrainState, the cross-process data-sharded batch}: Orbax
+# writes each shard from the process holding it (no host gather), and the
+# restore reads each process's addressable shards straight back onto its
+# devices.  Restored shards must match bit-for-bit on EVERY process.
+from jax.experimental import multihost_utils  # noqa: E402
+
+from differential_equations_resnet_tpu.train.checkpoint import (  # noqa: E402
+    Checkpointer,
+)
+
+payload = {"state": new_state, "batch": x}
+ckpt = Checkpointer(ckpt_dir, backend="orbax", max_to_keep=2)
+path = ckpt.save(payload, step=1, name="mh", preserve_shardings=True)
+multihost_utils.sync_global_devices("ckpt_saved")
+restored = ckpt.restore(payload, path=path, preserve_shardings=True)
+for a, b in zip(jax.tree.leaves(payload), jax.tree.leaves(restored)):
+    assert b.sharding == a.sharding, (a.sharding, b.sharding)
+    for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(sa.data)),
+            np.asarray(jax.device_get(sb.data)),
+        )
 
 print(f"MULTIHOST_OK {process_id} loss={loss:.4f}", flush=True)

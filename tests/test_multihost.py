@@ -21,7 +21,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_multihost_smoke():
+def test_two_process_multihost_smoke(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     port = _free_port()
@@ -30,7 +30,8 @@ def test_two_process_multihost_smoke():
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port)],
+            [sys.executable, worker, str(i), "2", str(port),
+             str(tmp_path / "ckpt")],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
