@@ -27,10 +27,14 @@ the documented practical single-chip floor (docs/RESULTS.md roofline:
     in BOTH dtypes — fp32 (the default) and bf16 (the measured absolute
     img/s peak, 29.5k), so regressions in the bf16 path are visible in the
     artifact trail;
-  - `wide_trunk`: the 64Lx64F 1000-class b=256 bf16 row — the measured MFU
-    peak (46.4% / 91 model TFLOPS), demonstrating the compute path is
-    MXU-bound at lane-filling widths (the headline model is too narrow to
-    exercise the FLOP ceiling).
+  - `wide_trunk`: the 64Lx64F 1000-class b=256 bf16 row (measured 46-47%
+    MFU / ~91 model TFLOPS in rounds 3-4), kept for cross-round continuity;
+  - `mfu_peak`: the 128Lx128F 1000-class b=256 bf16 row — the measured
+    absolute utilization peak (66.2% MFU / 130 model TFLOPS, round-4 sweep,
+    docs/RESULTS.md section 6e).  C=128 fills the MXU's 128 lanes exactly,
+    and MFU rises monotonically with depth (stem/head amortization) until
+    the next depth step (192L) exceeds HBM capacity — this config is the
+    single-chip frontier of the framework's compute path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -188,23 +192,36 @@ def main() -> None:
         "bf16": lb_section(model_bf16),
     }
 
-    # Wide-trunk MFU row: 64Lx64F, 1000 classes, b=256, bf16 — the measured
-    # absolute utilization peak (46.4% MFU / 91 model TFLOPS on one v5e,
-    # docs/RESULTS.md section 6c).  The lane-filling C=64 trunk is where the
-    # compute path is MXU-bound; at the headline C=16 the conv occupies 16
-    # of 128 MXU lanes and MFU is structurally capped.
+    # Utilization frontier rows (docs/RESULTS.md sections 6c/6e).  At the
+    # headline C=16 the conv occupies 16 of 128 MXU lanes and MFU is
+    # structurally capped; these rows demonstrate the same unmodified train
+    # step is MXU-bound where the model lets it be.
     from differential_equations_resnet_tpu.experiments import imagenet32_config
 
-    wt_config = imagenet32_config(
-        num_layers=64, num_filters=64, compute_dtype=jnp.bfloat16
-    )
-    wt_model = build_single_block_resnet(wt_config)
-    wt_batch, wt_scan_k, wt_chunks = 256, 40, 2
-    wt_steps_per_sec = _measure_device_epoch(
-        wt_model, tx, wt_batch, wt_scan_k, wt_chunks, images, labels,
-        seed0=200,
-    )
-    wt_flops_step = single_block_train_flops(wt_config, wt_batch)
+    def utilization_section(num_layers, num_filters, batch, scan_k, seed0):
+        cfg = imagenet32_config(
+            num_layers=num_layers, num_filters=num_filters,
+            compute_dtype=jnp.bfloat16,
+        )
+        sps = _measure_device_epoch(
+            build_single_block_resnet(cfg), tx, batch, scan_k, 2,
+            images, labels, seed0=seed0,
+        )
+        fl = single_block_train_flops(cfg, batch)
+        return {
+            "config": f"{num_layers}Lx{num_filters}F_1000c_b{batch}_bf16",
+            "steps_per_sec": round(sps, 3),
+            "img_per_sec": round(sps * batch, 1),
+            "model_tflops": round(fl * sps / 1e12, 2),
+            "mfu_vs_bf16_peak": round(mfu(fl, sps), 4),
+        }
+
+    # 64Lx64F b=256: the round-3 wide-trunk row, kept for cross-round trend.
+    wide_trunk = utilization_section(64, 64, 256, 40, seed0=200)
+    # 128Lx128F b=256: the measured single-chip MFU peak (66.2% / 130 model
+    # TFLOPS, round-4 sweep).  C=128 fills the MXU lanes exactly; depth
+    # amortizes the stem/head; 192L exceeds HBM (18.6G > 15.75G).
+    mfu_peak = utilization_section(128, 128, 256, 12, seed0=300)
 
     print(
         json.dumps(
@@ -222,17 +239,8 @@ def main() -> None:
                     steps_per_sec / PRACTICAL_FLOOR_STEPS_PER_SEC, 3
                 ),
                 "large_batch": large_batch,
-                "wide_trunk": {
-                    "config": "64Lx64F_1000c_b256_bf16",
-                    "steps_per_sec": round(wt_steps_per_sec, 3),
-                    "img_per_sec": round(wt_steps_per_sec * wt_batch, 1),
-                    "model_tflops": round(
-                        wt_flops_step * wt_steps_per_sec / 1e12, 2
-                    ),
-                    "mfu_vs_bf16_peak": round(
-                        mfu(wt_flops_step, wt_steps_per_sec), 4
-                    ),
-                },
+                "wide_trunk": wide_trunk,
+                "mfu_peak": mfu_peak,
             }
         )
     )

@@ -42,11 +42,13 @@ def imagenet32_config(
     """ImageNet-32-scale workload: 32x32 inputs, 1000 classes, wider trunk,
     bf16 compute.
 
-    Throughput note (docs/RESULTS.md section 6c): the bf16 MXU win at these
-    lane-filling widths engages at per-device batch >= 256 (1.56x over
-    fp32); at b <= 128 both dtypes run at the same rate, and fp32 at
+    Throughput note (docs/RESULTS.md sections 6c/6e): the bf16 MXU win at
+    these lane-filling widths engages at per-device batch >= 256 (1.56x
+    over fp32); at b <= 128 both dtypes run at the same rate, and fp32 at
     b >= 256 loses ~35% to its conv lowering — benchmark wide trunks at
-    b=256 bf16 (46.4% MFU measured at 64Lx64F)."""
+    b=256-384 bf16.  The measured single-chip utilization peak is C=128
+    (exact MXU lane width) at maximum HBM-fitting depth: 128Lx128F b256
+    bf16 = 66.2% MFU / 130 model TFLOPS."""
     return SingleBlockResNetConfig(
         image_shape=(32, 32, 3),
         kernel_type=kernel_type,

@@ -397,8 +397,9 @@ def _warn_fp32_conv_cliff(config, x):
     """Trace-time advisory for the measured fp32 large-batch conv-lowering
     cliff (docs/RESULTS.md section 6c, 2x2 dtype-by-batch matrix): on TPU at
     per-device batch >= 256 and lane-filling trunk widths (C >= 64), the
-    fp32 conv lowering loses ~35% of throughput while bf16 sustains ~46%
-    MFU; at per-device batch <= 128 both dtypes run at the same rate.  A
+    fp32 conv lowering loses ~35% of throughput while bf16 sustains 46-66%
+    MFU (sections 6c/6e); at per-device batch <= 128 both dtypes run at the
+    same rate.  A
     user running `--batch-size 256` wide-trunk fp32 would otherwise silently
     get the bad row (VERDICT r3 weak #4).  Advisory only — numerics are
     never changed; silence it with `compute_dtype=jnp.bfloat16` (CLI
@@ -420,7 +421,7 @@ def _warn_fp32_conv_cliff(config, x):
             f"fp32 conv-lowering cliff: per-device batch {per_device_batch} "
             f">= 256 at trunk width C={channels} >= 64 runs the measured "
             "~35%-slower fp32 conv lowering on TPU (docs/RESULTS.md "
-            "section 6c; bf16 reaches ~46% MFU on the same shapes).  Pass "
+            "section 6c; bf16 reaches 46-66% MFU on these shapes).  Pass "
             "compute_dtype=jnp.bfloat16 (CLI --bf16) or drop the per-device "
             "batch to <= 128.",
             stacklevel=2,
