@@ -168,28 +168,32 @@ def main() -> None:
     # pins the frontier the docs claim (VERDICT r3 next-round item 1).
     import jax.numpy as jnp
 
-    lb_batch, lb_scan_k, lb_chunks = 256, 125, 2
-
-    def lb_section(model_lb):
+    def metrics_section(model_m, batch, scan_k, seed0, label=None):
+        """Measure one device-epoch config and derive the shared metric
+        fields (single source for rounding and the MFU denominator — the
+        large_batch and utilization sections must stay comparable)."""
         sps = _measure_device_epoch(
-            model_lb, tx, lb_batch, lb_scan_k, lb_chunks, images, labels,
-            seed0=100,
+            model_m, tx, batch, scan_k, 2, images, labels, seed0=seed0
         )
-        fl = single_block_train_flops(model_lb.config, lb_batch)
-        return {
+        fl = single_block_train_flops(model_m.config, batch)
+        section = {
             "steps_per_sec": round(sps, 3),
-            "img_per_sec": round(sps * lb_batch, 1),
+            "img_per_sec": round(sps * batch, 1),
             "model_tflops": round(fl * sps / 1e12, 2),
             "mfu_vs_bf16_peak": round(mfu(fl, sps), 4),
         }
+        if label is not None:
+            section = {"config": label, **section}
+        return section
 
+    lb_batch, lb_scan_k = 256, 125
     model_bf16 = build_single_block_resnet(
         cifar10_single_block_config(compute_dtype=jnp.bfloat16)
     )
     large_batch = {
         "batch": lb_batch,
-        "fp32": lb_section(model),
-        "bf16": lb_section(model_bf16),
+        "fp32": metrics_section(model, lb_batch, lb_scan_k, seed0=100),
+        "bf16": metrics_section(model_bf16, lb_batch, lb_scan_k, seed0=100),
     }
 
     # Utilization frontier rows (docs/RESULTS.md sections 6c/6e).  At the
@@ -203,18 +207,10 @@ def main() -> None:
             num_layers=num_layers, num_filters=num_filters,
             compute_dtype=jnp.bfloat16,
         )
-        sps = _measure_device_epoch(
-            build_single_block_resnet(cfg), tx, batch, scan_k, 2,
-            images, labels, seed0=seed0,
+        return metrics_section(
+            build_single_block_resnet(cfg), batch, scan_k, seed0,
+            label=f"{num_layers}Lx{num_filters}F_1000c_b{batch}_bf16",
         )
-        fl = single_block_train_flops(cfg, batch)
-        return {
-            "config": f"{num_layers}Lx{num_filters}F_1000c_b{batch}_bf16",
-            "steps_per_sec": round(sps, 3),
-            "img_per_sec": round(sps * batch, 1),
-            "model_tflops": round(fl * sps / 1e12, 2),
-            "mfu_vs_bf16_peak": round(mfu(fl, sps), 4),
-        }
 
     # 64Lx64F b=256: the round-3 wide-trunk row, kept for cross-round trend.
     wide_trunk = utilization_section(64, 64, 256, 40, seed0=200)

@@ -150,6 +150,19 @@ class Checkpointer:
             with open(path + ".meta.json", "w") as f:
                 json.dump(meta, f)
             self._garbage_collect()
+        # Multi-host: `save` is a COLLECTIVE — no process returns until the
+        # sidecar exists and garbage collection finished, so a caller that
+        # immediately `restore`s / `read_meta`s / `latest`s on any process
+        # never observes a half-published checkpoint (missing .meta.json
+        # would silently skip the treedef structure-drift guard) and never
+        # picks a stale directory that process 0 is mid-rmtree.  Callers do
+        # NOT need their own barrier around save().
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(
+                f"deqres_checkpoint_save:{ckpt_name}"
+            )
         return path
 
     def read_meta(self, path: str) -> Optional[dict]:

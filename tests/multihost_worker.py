@@ -132,8 +132,11 @@ for a, b in zip(jax.tree.leaves(sm_state.params), jax.tree.leaves(new_state.para
 # writes each shard from the process holding it (no host gather), and the
 # restore reads each process's addressable shards straight back onto its
 # devices.  Restored shards must match bit-for-bit on EVERY process.
-from jax.experimental import multihost_utils  # noqa: E402
-
+# NO caller-side barrier between save and restore: save() is itself a
+# collective (the sidecar + GC barrier inside Checkpointer.save), and this
+# immediate cross-process restore is the regression test for that contract
+# — with the internal barrier removed, a non-zero process can observe a
+# missing .meta.json or a mid-GC directory here.
 from differential_equations_resnet_tpu.train.checkpoint import (  # noqa: E402
     Checkpointer,
 )
@@ -141,7 +144,8 @@ from differential_equations_resnet_tpu.train.checkpoint import (  # noqa: E402
 payload = {"state": new_state, "batch": x}
 ckpt = Checkpointer(ckpt_dir, backend="orbax", max_to_keep=2)
 path = ckpt.save(payload, step=1, name="mh", preserve_shardings=True)
-multihost_utils.sync_global_devices("ckpt_saved")
+meta = ckpt.read_meta(path)
+assert meta is not None and meta["step"] == 1, meta
 restored = ckpt.restore(payload, path=path, preserve_shardings=True)
 for a, b in zip(jax.tree.leaves(payload), jax.tree.leaves(restored)):
     assert b.sharding == a.sharding, (a.sharding, b.sharding)
