@@ -465,6 +465,7 @@ def cmd_sweep(args) -> int:
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         steps=args.steps,
         kernel_type=args.kernel_type,
+        remat=args.remat,
     )
     print(json.dumps({f"{w}x{d}": v for (w, d), v in results.items()}))
     return 0
@@ -758,6 +759,15 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--kernel-type",
                    choices=["antisymmetric", "regular"], default="antisymmetric")
+    remat_group = p.add_mutually_exclusive_group()
+    remat_group.add_argument(
+        "--remat", action="store_true", default=None, dest="remat",
+        help="force rematerialization on every cell (costs a measured "
+             "~13 MFU points at wide/deep shapes)")
+    remat_group.add_argument(
+        "--no-remat", action="store_false", dest="remat",
+        help="force rematerialization off (cells past the no-remat "
+             "capacity will fail to compile)")
     p.set_defaults(fn=cmd_sweep, needs_accelerator=True)
 
     p = sub.add_parser("convert-records")

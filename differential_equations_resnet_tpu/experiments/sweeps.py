@@ -122,6 +122,13 @@ def measure_train_throughput(
     }
 
 
+# Measured single-chip capacity for the no-remat scan (v5e, bf16, round 4):
+# 4.8e9 saved residual elements per device compiles and runs (144Lx128F b256
+# = 64.8% MFU; 96Lx128F b384 = 66.4%), 5.4e9+ fails to compile (160Lxb256,
+# 128Lxb384).  Threshold between the two.  docs/RESULTS.md section 6e.
+_NO_REMAT_MAX_ELEMS = 5.0e9
+
+
 def width_depth_sweep(
     widths: Sequence[int] = (16, 32, 64),
     depths: Sequence[int] = (16, 32, 64),
@@ -131,17 +138,42 @@ def width_depth_sweep(
     compute_dtype=jnp.bfloat16,
     steps: int = 30,
     kernel_type: str = "antisymmetric",
+    remat: Optional[bool] = None,
 ) -> Dict[Tuple[int, int], Dict[str, float]]:
-    """Throughput at every (width, depth) grid point."""
+    """Throughput at every (width, depth) grid point.
+
+    ``remat=None`` (default) enables rematerialization only where the
+    no-remat scan cannot compile — estimated per-device saved-residual
+    elements (L x per-device batch x H x W x C) above the measured
+    ``_NO_REMAT_MAX_ELEMS`` capacity — and PRINTS which cells got it:
+    remat costs a measured ~13 MFU points at these shapes (144Lx128F b256
+    bf16: 64.8% plain vs 51.9% remat — docs/RESULTS.md section 6e), so a
+    silent heuristic contaminates sweep results (an earlier depth>=64 rule
+    did exactly that, round 4).  Pass True/False to force."""
+    n_devices = mesh.size if mesh is not None else 1
     results: Dict[Tuple[int, int], Dict[str, float]] = {}
     for width in widths:
         for depth in depths:
+            if remat is None:
+                elems = depth * (batch_size // n_devices) * 32 * 32 * width
+                cell_remat = elems > _NO_REMAT_MAX_ELEMS
+                if cell_remat:
+                    print(
+                        f"# {width}x{depth}: remat enabled (est. "
+                        f"{elems / 1e9:.1f}e9 saved elements/device > "
+                        f"{_NO_REMAT_MAX_ELEMS / 1e9:.1f}e9 no-remat "
+                        "capacity); expect ~13 MFU points below the "
+                        "no-remat rate at these shapes",
+                        flush=True,
+                    )
+            else:
+                cell_remat = remat
             config = imagenet32_config(
                 num_layers=depth,
                 num_filters=width,
                 kernel_type=kernel_type,
                 compute_dtype=compute_dtype,
-                remat=depth >= 64,
+                remat=cell_remat,
             )
             if num_classes != 1000:
                 config = SingleBlockResNetConfig(

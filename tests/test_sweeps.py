@@ -38,3 +38,40 @@ def test_width_depth_sweep_dp_mesh():
     )
     assert (8, 2) in results
     assert np.isfinite(results[(8, 2)]["step_ms"])
+
+
+def test_width_depth_sweep_remat_derived_from_capacity(monkeypatch):
+    """remat=None enables remat ONLY past the measured no-remat capacity
+    (~5e9 saved elements/device), never by a bare depth heuristic — a silent
+    depth>=64 rule contaminated round-4 measurements (docs/RESULTS.md
+    section 6e retraction).  Explicit True/False always wins."""
+    from differential_equations_resnet_tpu.experiments import sweeps
+
+    seen = {}
+
+    def stub(config, batch_size, mesh=None, steps=30):
+        key = (config.filters_per_block[0], config.blocks_per_stage[0])
+        seen[key] = config.remat
+        return {"steps_per_sec": 1.0}
+
+    monkeypatch.setattr(sweeps, "measure_train_throughput", stub)
+
+    # 128Lx128F b256 = 4.29e9 elements (the measured peak): no remat.
+    # 160Lx128F b256 = 5.37e9 (> capacity): remat, loudly.
+    # 64Lx16F (the headline family): far under capacity, no remat even
+    # though depth >= 64 (the retired heuristic would have remat'd it).
+    width_depth_sweep(widths=(128,), depths=(128, 160), batch_size=256)
+    width_depth_sweep(widths=(16,), depths=(64,), batch_size=256)
+    assert seen[(128, 128)] is False
+    assert seen[(128, 160)] is True
+    assert seen[(16, 64)] is False
+
+    # Per-device accounting: 160Lx128F global b2048 over 8 devices is the
+    # same 5.37e9 per device -> remat; forcing remat=False wins over auto.
+    mesh = create_mesh((8,), ("data",))
+    width_depth_sweep(widths=(128,), depths=(160,), batch_size=2048, mesh=mesh)
+    assert seen[(128, 160)] is True
+    width_depth_sweep(widths=(128,), depths=(160,), batch_size=256, remat=False)
+    assert seen[(128, 160)] is False
+    width_depth_sweep(widths=(16,), depths=(2,), batch_size=16, remat=True)
+    assert seen[(16, 2)] is True
