@@ -394,29 +394,49 @@ def _dense_blocks(blocks, config) -> ConvParams:
 
 
 def _warn_fp32_conv_cliff(config, x):
-    """Trace-time advisory for the measured fp32 large-batch conv-lowering
-    cliff (docs/RESULTS.md section 6c, 2x2 dtype-by-batch matrix): on TPU at
-    per-device batch >= 256 and lane-filling trunk widths (C >= 64), the
-    fp32 conv lowering loses ~35% of throughput while bf16 sustains 46-66%
-    MFU (sections 6c/6e); at per-device batch <= 128 both dtypes run at the
-    same rate.  A
-    user running `--batch-size 256` wide-trunk fp32 would otherwise silently
-    get the bad row (VERDICT r3 weak #4).  Advisory only — numerics are
-    never changed; silence it with `compute_dtype=jnp.bfloat16` (CLI
-    `--bf16`), a per-device batch <= 128, or by filtering the warning.
-    Follows the accum-resharding warning pattern (train_step.py:206-214).
-    Keys on the EXECUTING devices' platform like `_s2d_eligible` (the
-    measurement is a TPU conv-emitter property)."""
+    """Trace-time advisories for the two measured large-batch conv-lowering
+    cliffs (docs/RESULTS.md sections 6c/6e).  Both key on the EXECUTING
+    devices' platform like `_s2d_eligible` (TPU conv-emitter properties),
+    both are advisory only — numerics are never changed — and both follow
+    the accum-resharding warning pattern (train_step.py:206-214):
+
+    1. fp32 at per-device batch >= 256 and lane-filling trunk widths
+       (C >= 64) loses ~35% of throughput to its conv lowering while bf16
+       sustains 46-66% MFU (section 6c, 2x2 dtype-by-batch matrix); at
+       per-device batch <= 128 both dtypes run at the same rate.  Silence
+       with `compute_dtype=jnp.bfloat16` (CLI `--bf16`), a per-device batch
+       <= 128, or by filtering the warning (VERDICT r3 weak #4).
+
+    2. Per-device batch >= 512 degrades the conv lowering in ANY dtype
+       (section 6e finding 3, measured on clean no-remat rows: 48Lx128F
+       b512 bf16 50.6% vs 65.6% MFU at the same residual footprint;
+       64Lx64F b512 bf16 39.8% vs 47.3% at b256).  The fix keeps the
+       effective batch: gradient accumulation (`accum_steps`) or more data
+       shards, either of which brings the per-device rows back to the
+       256-384 sweet spot."""
     platform = getattr(config, "device_platform", None) or jax.default_backend()
     if platform != "tpu":
-        return
-    if jnp.dtype(config.compute_dtype) != jnp.float32:
         return
     channels = x.shape[-1]
     per_device_batch = x.shape[0] // max(
         int(getattr(config, "data_axis_size", 1)), 1
     )
-    if per_device_batch >= 256 and channels >= 64:
+    if channels < 64:
+        return
+    if per_device_batch >= 512:
+        warnings.warn(
+            f"per-device batch {per_device_batch} >= 512 at trunk width "
+            f"C={channels} >= 64 degrades the TPU conv lowering in any "
+            "dtype (docs/RESULTS.md section 6e: ~10-15 MFU points lost at "
+            "every width/depth measured).  Keep the effective batch via "
+            "gradient accumulation (accum_steps) or more data-parallel "
+            "shards; per-device 256-384 is the measured sweet spot.",
+            stacklevel=2,
+        )
+    elif (
+        per_device_batch >= 256
+        and jnp.dtype(config.compute_dtype) == jnp.float32
+    ):
         warnings.warn(
             f"fp32 conv-lowering cliff: per-device batch {per_device_batch} "
             f">= 256 at trunk width C={channels} >= 64 runs the measured "

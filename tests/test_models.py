@@ -280,7 +280,7 @@ def test_fp32_large_batch_cliff_warning():
 
     from differential_equations_resnet_tpu.experiments import imagenet32_config
 
-    def fired(batch, **overrides):
+    def warned(batch, needle, **overrides):
         config = imagenet32_config(num_layers=2, **overrides)
         model = build_single_block_resnet(config)
         params, state = model.init(jax.random.key(0))
@@ -290,7 +290,10 @@ def test_fp32_large_batch_cliff_warning():
                 lambda p, s, x: model.apply(p, s, x, return_logits=True),
                 params, state, jnp.zeros((batch, 32, 32, 3), jnp.float32),
             )
-        return any("fp32 conv-lowering cliff" in str(w.message) for w in rec)
+        return any(needle in str(w.message) for w in rec)
+
+    def fired(batch, **overrides):
+        return warned(batch, "fp32 conv-lowering cliff", **overrides)
 
     fp32 = dict(compute_dtype=jnp.float32, device_platform="tpu")
     assert fired(256, num_filters=64, **fp32)
@@ -306,6 +309,47 @@ def test_fp32_large_batch_cliff_warning():
     # global b=256 over 8 devices = 32/device -> silent.
     assert fired(2048, num_filters=64, data_axis_size=8, **fp32)
     assert not fired(256, num_filters=64, data_axis_size=8, **fp32)
+
+
+def test_b512_conv_degradation_warning():
+    """The dtype-agnostic per-device-batch>=512 advisory (docs/RESULTS.md
+    section 6e finding 3) fires for BOTH dtypes at wide trunks, keys on
+    per-device rows under DP, stays silent on CPU / narrow trunks / b<=384,
+    and supersedes (not duplicates) the fp32-b256 advisory at b512."""
+    import warnings as _warnings
+
+    from differential_equations_resnet_tpu.experiments import imagenet32_config
+
+    def messages(batch, **overrides):
+        config = imagenet32_config(num_layers=2, **overrides)
+        model = build_single_block_resnet(config)
+        params, state = model.init(jax.random.key(0))
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter("always")
+            jax.eval_shape(
+                lambda p, s, x: model.apply(p, s, x, return_logits=True),
+                params, state, jnp.zeros((batch, 32, 32, 3), jnp.float32),
+            )
+        return [str(w.message) for w in rec]
+
+    def b512_fired(batch, **overrides):
+        return any("512 at trunk width" in m for m in messages(batch, **overrides))
+
+    tpu = dict(device_platform="tpu")
+    assert b512_fired(512, num_filters=64, compute_dtype=jnp.bfloat16, **tpu)
+    assert b512_fired(512, num_filters=128, compute_dtype=jnp.float32, **tpu)
+    assert not b512_fired(384, num_filters=128, compute_dtype=jnp.bfloat16, **tpu)
+    assert not b512_fired(512, num_filters=16, compute_dtype=jnp.bfloat16, **tpu)
+    # CPU platform: silent (TPU conv-emitter property).
+    assert not b512_fired(512, num_filters=64, compute_dtype=jnp.bfloat16)
+    # DP: global 4096 over 8 devices = 512/device fires; 2048/8 = 256 doesn't.
+    assert b512_fired(4096, num_filters=64, data_axis_size=8,
+                      compute_dtype=jnp.bfloat16, **tpu)
+    assert not b512_fired(2048, num_filters=64, data_axis_size=8,
+                          compute_dtype=jnp.bfloat16, **tpu)
+    # At fp32 b512 exactly ONE advisory fires (the b512 one, not both).
+    msgs = messages(512, num_filters=64, compute_dtype=jnp.float32, **tpu)
+    assert sum("conv lowering" in m or "conv-lowering" in m for m in msgs) == 1
 
 
 def test_conv_relu_field_custom_vjp_matches_autodiff():
