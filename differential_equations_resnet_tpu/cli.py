@@ -658,6 +658,7 @@ def cmd_export(args) -> int:
         checkpoint=args.checkpoint,
         batch_size=args.batch_size,
         stablehlo=not args.no_stablehlo,
+        quantize="int8" if args.int8 else None,
     )
     print(json.dumps({"export_dir": path}))
     return 0
@@ -826,6 +827,13 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--no-stablehlo", action="store_true")
+    p.add_argument(
+        "--int8",
+        action="store_true",
+        help="export the forward with dynamic-w8a8 int8 identity trunks "
+             "(measured full-model 1.68x over bf16 at lane-filling trunk "
+             "widths, C >= 128)",
+    )
     p.set_defaults(fn=cmd_export, needs_accelerator=True)
 
     args = parser.parse_args(argv)

@@ -18,6 +18,10 @@ from differential_equations_resnet_tpu.models.single_block_resnet import (  # no
     cifar10_single_block_config,
     get_single_block_resnet_build_function,
 )
+from differential_equations_resnet_tpu.models.quantized import (  # noqa: F401
+    apply_single_block_resnet_quantized,
+    make_quantized_forward,
+)
 from differential_equations_resnet_tpu.models.bottleneck_resnet import (  # noqa: F401
     BottleneckResNetConfig,
     build_resnet,

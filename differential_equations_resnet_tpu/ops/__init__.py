@@ -31,3 +31,9 @@ from differential_equations_resnet_tpu.ops.integrators import (  # noqa: F401
     midpoint_step,
     rk4_step,
 )
+from differential_equations_resnet_tpu.ops.quantize import (  # noqa: F401
+    QuantizedConvParams,
+    dynamic_int8_conv_same,
+    quantize_activations_per_tensor,
+    quantize_kernel_per_cout,
+)

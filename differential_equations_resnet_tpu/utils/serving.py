@@ -113,12 +113,29 @@ def export_model(
     batch_size: int = 1,
     stablehlo: bool = True,
     seed: int = 0,
+    quantize: Optional[str] = None,
 ) -> str:
     """Write a self-contained serving export of ``model``.
 
     Parameters come from (in priority order) the explicit ``params`` /
     ``model_state`` arguments, a TrainState ``checkpoint`` directory, or a
-    fresh initialization (useful for shape/latency testing)."""
+    fresh initialization (useful for shape/latency testing).
+
+    ``quantize='int8'`` (single-block family only) exports the forward with
+    dynamic-w8a8 identity-block trunks (`models/quantized.py` — measured
+    full-model 1.68x over bf16 at lane-filling trunk widths, C >= 128).
+    params.pkl keeps the
+    canonical fp32 weights; quantization happens inside the traced forward,
+    so the StableHLO artifact carries the int8 path while the fallback
+    loader (and any re-export) still sees exact weights."""
+    if quantize not in (None, "int8"):
+        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+    if quantize == "int8" and _model_family(model) != "single_block":
+        raise ValueError(
+            "quantize='int8' is implemented for the single-block family "
+            "(the bottleneck family's conv blocks change width per block; "
+            "no measured win to ship yet)."
+        )
     if params is None:
         if checkpoint is not None:
             from differential_equations_resnet_tpu.train.checkpoint import (
@@ -143,6 +160,7 @@ def export_model(
             {
                 "family": _model_family(model),
                 "batch_size": int(batch_size),
+                "quantize": quantize,
                 "config": _config_to_json(model.config),
             },
             f,
@@ -161,9 +179,21 @@ def export_model(
 
         _register_param_serializations()
 
-        def forward(p, s, x):
-            out, _ = model.apply(p, s, x, train=False)
-            return out
+        if quantize == "int8":
+            from differential_equations_resnet_tpu.models.quantized import (
+                apply_single_block_resnet_quantized,
+            )
+
+            def forward(p, s, x):
+                return apply_single_block_resnet_quantized(
+                    p, s, x, model.config
+                )
+
+        else:
+
+            def forward(p, s, x):
+                out, _ = model.apply(p, s, x, train=False)
+                return out
 
         x_spec = jax.ShapeDtypeStruct(
             (batch_size, *model.config.image_shape), jnp.float32
@@ -210,9 +240,16 @@ def load_exported(
 
     config = _config_from_json(manifest["config"], manifest["family"])
     model = _build_from_family(manifest["family"], config)
-    apply_fn = jax.jit(
-        lambda x: model.apply(params, model_state, x, train=False)[0]
-    )
+    if manifest.get("quantize") == "int8":
+        from differential_equations_resnet_tpu.models.quantized import (
+            make_quantized_forward,
+        )
+
+        apply_fn = make_quantized_forward(model, params, model_state)
+    else:
+        apply_fn = jax.jit(
+            lambda x: model.apply(params, model_state, x, train=False)[0]
+        )
 
     def predict(images):
         return np.asarray(apply_fn(jnp.asarray(images)))

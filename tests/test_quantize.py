@@ -1,0 +1,202 @@
+"""Dynamic w8a8 int8 inference tests (ops/quantize.py, models/quantized.py,
+and the serving-export integration) — a TPU-native extension with no
+reference counterpart (the reference serves its fp32 training graph,
+models/tfkeras_resnets.py + training/training.py:752-779)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from differential_equations_resnet_tpu.models import (
+    SingleBlockResNetConfig,
+    build_single_block_resnet,
+    make_quantized_forward,
+)
+from differential_equations_resnet_tpu.models.quantized import (
+    apply_single_block_resnet_quantized,
+)
+from differential_equations_resnet_tpu.ops.quantize import (
+    dynamic_int8_conv_same,
+    quantize_activations_per_tensor,
+    quantize_kernel_per_cout,
+)
+
+
+def wide_model(**kwargs):
+    """Tiny spatially, wide enough in channels (128 = the default
+    min_channels gate, set by the measured full-model win boundary) to
+    engage quantization."""
+    defaults = dict(
+        image_shape=(8, 8, 3),
+        num_stages=2,
+        blocks_per_stage=(3,),
+        filters_per_block=(128,),
+        strides=((1, 1),),
+        num_classes=5,
+        h=0.25,
+        kernel_type="antisymmetric",
+    )
+    defaults.update(kwargs)
+    return build_single_block_resnet(SingleBlockResNetConfig(**defaults))
+
+
+# ---------------------------------------------------------------------------
+# ops/quantize.py unit behavior
+# ---------------------------------------------------------------------------
+
+
+def test_weight_quantization_roundtrip_error_bound():
+    k = jax.random.normal(jax.random.key(0), (4, 3, 3, 8, 16)) * 0.3
+    qp = quantize_kernel_per_cout(k)
+    assert qp.kernel_q.dtype == jnp.int8
+    assert qp.scale.shape == (4, 16)
+    dequant = qp.kernel_q.astype(jnp.float32) * qp.scale[:, None, None, None, :]
+    # Symmetric rounding error is at most scale/2 per element.
+    err = np.abs(np.asarray(dequant - k))
+    bound = np.asarray(qp.scale)[:, None, None, None, :] / 2 + 1e-7
+    assert (err <= bound).all()
+
+
+def test_weight_quantization_zero_channel_safe():
+    k = jnp.zeros((3, 3, 4, 4))
+    qp = quantize_kernel_per_cout(k)
+    assert np.isfinite(np.asarray(qp.scale)).all()
+    assert (np.asarray(qp.kernel_q) == 0).all()
+
+
+def test_activation_quantization_roundtrip():
+    y = jax.random.normal(jax.random.key(1), (2, 8, 8, 16)) * 5.0
+    yq, s = quantize_activations_per_tensor(y)
+    assert yq.dtype == jnp.int8
+    assert int(jnp.max(jnp.abs(yq))) == 127
+    np.testing.assert_allclose(
+        np.asarray(yq, np.float32) * float(s), np.asarray(y),
+        atol=float(s) / 2 + 1e-7,
+    )
+
+
+def test_int8_conv_matches_exact_integer_conv():
+    """int8 x int8 -> int32 must be EXACT: cross-check against the fp32 conv
+    on the same integer values (both are exact in this range)."""
+    key = jax.random.key(2)
+    y = jax.random.normal(key, (2, 6, 6, 8)) * 2.0
+    k = jax.random.normal(jax.random.key(3), (3, 3, 8, 8)) * 0.2
+    qp = quantize_kernel_per_cout(k, bias=jnp.zeros((8,)))
+    yq, s_y = quantize_activations_per_tensor(y)
+
+    z = dynamic_int8_conv_same(y, qp)
+
+    from differential_equations_resnet_tpu.ops.conv import conv2d_same
+
+    z_ref = conv2d_same(
+        yq.astype(jnp.float32), qp.kernel_q.astype(jnp.float32)
+    ) * (s_y * qp.scale)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), rtol=1e-6)
+
+
+def test_dynamic_int8_conv_approximates_fp32_conv():
+    y = jax.random.normal(jax.random.key(4), (2, 8, 8, 16))
+    k = jax.random.normal(jax.random.key(5), (3, 3, 16, 16)) * 0.1
+    b = jax.random.normal(jax.random.key(6), (16,)) * 0.01
+    from differential_equations_resnet_tpu.ops.conv import conv2d_same
+
+    z8 = dynamic_int8_conv_same(y, quantize_kernel_per_cout(k, bias=b))
+    zf = conv2d_same(y, k, bias=b)
+    rel = float(jnp.linalg.norm(z8 - zf) / jnp.linalg.norm(zf))
+    assert rel < 2e-2, rel
+
+
+# ---------------------------------------------------------------------------
+# Whole-model agreement
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("integrator", ["euler", "rk4"])
+def test_quantized_forward_agrees_with_fp32(integrator):
+    model = wide_model(integrator=integrator)
+    params, state = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (4, 8, 8, 3))
+
+    ref, _ = model.apply(params, state, x, train=False)
+    q = make_quantized_forward(model, params, state)(x)
+
+    ref, q = np.asarray(ref), np.asarray(q)
+    assert np.argmax(ref, -1).tolist() == np.argmax(q, -1).tolist()
+    np.testing.assert_allclose(q, ref, atol=5e-3)
+
+
+def test_quantized_forward_narrow_stage_falls_back_exactly():
+    """Below min_channels the trunk must take the regular path — outputs
+    bit-identical to the unquantized apply (the gate, not a tolerance)."""
+    model = wide_model(filters_per_block=(16,))
+    params, state = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (4, 8, 8, 3))
+
+    ref, _ = model.apply(params, state, x, train=False)
+    q = apply_single_block_resnet_quantized(
+        params, state, x, model.config
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(q))
+
+
+def test_quantized_forward_batch_norm_trunk():
+    model = wide_model(use_batch_norm=True)
+    params, state = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (4, 8, 8, 3))
+
+    ref, _ = model.apply(params, state, x, train=False)
+    q = apply_single_block_resnet_quantized(params, state, x, model.config)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(ref), atol=5e-3)
+
+
+def test_quantized_rejects_parallel_meshes():
+    from differential_equations_resnet_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh((2,), ("model",))
+    model = wide_model(tp_mesh=mesh)
+    params, state = model.init(jax.random.key(0))
+    x = jnp.zeros((2, 8, 8, 3))
+    with pytest.raises(ValueError, match="single-device serving"):
+        apply_single_block_resnet_quantized(params, state, x, model.config)
+
+
+# ---------------------------------------------------------------------------
+# Serving-export integration
+# ---------------------------------------------------------------------------
+
+
+def test_export_int8_roundtrip(tmp_path):
+    from differential_equations_resnet_tpu.utils.serving import (
+        export_model,
+        load_exported,
+    )
+
+    model = wide_model()
+    params, state = model.init(jax.random.key(0))
+    out = export_model(
+        model, str(tmp_path / "exp"), params=params, model_state=state,
+        batch_size=2, quantize="int8",
+    )
+    x = np.random.default_rng(0).normal(size=(2, 8, 8, 3)).astype(np.float32)
+    expected = np.asarray(
+        apply_single_block_resnet_quantized(params, state, x, model.config)
+    )
+
+    for prefer in (True, False):
+        predict, manifest = load_exported(out, prefer_stablehlo=prefer)
+        assert manifest["quantize"] == "int8"
+        np.testing.assert_allclose(predict(x), expected, atol=1e-6)
+
+
+def test_export_int8_rejects_bottleneck(tmp_path):
+    from differential_equations_resnet_tpu.models import (
+        BottleneckResNetConfig,
+        build_resnet,
+    )
+    from differential_equations_resnet_tpu.utils.serving import export_model
+
+    model = build_resnet(BottleneckResNetConfig(num_classes=4))
+    with pytest.raises(ValueError, match="single-block"):
+        # Raises before any parameter initialization.
+        export_model(model, str(tmp_path / "exp"), quantize="int8")
