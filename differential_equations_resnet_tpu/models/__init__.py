@@ -19,6 +19,8 @@ from differential_equations_resnet_tpu.models.single_block_resnet import (  # no
     get_single_block_resnet_build_function,
 )
 from differential_equations_resnet_tpu.models.quantized import (  # noqa: F401
+    apply_quantized,
+    apply_resnet_quantized,
     apply_single_block_resnet_quantized,
     make_quantized_forward,
 )

@@ -121,21 +121,16 @@ def export_model(
     ``model_state`` arguments, a TrainState ``checkpoint`` directory, or a
     fresh initialization (useful for shape/latency testing).
 
-    ``quantize='int8'`` (single-block family only) exports the forward with
-    dynamic-w8a8 identity-block trunks (`models/quantized.py` — measured
-    full-model 1.68x over bf16 at lane-filling trunk widths, C >= 128).
-    params.pkl keeps the
+    ``quantize='int8'`` exports the forward with dynamic-w8a8 trunks
+    (`models/quantized.py` — measured full-model 1.68x over bf16 for
+    single-block models at lane-filling trunk widths C >= 128, and 2.2-2.4x
+    on the wide ResNet-50 stages, gated per family on the measured win
+    boundary).  params.pkl keeps the
     canonical fp32 weights; quantization happens inside the traced forward,
     so the StableHLO artifact carries the int8 path while the fallback
     loader (and any re-export) still sees exact weights."""
     if quantize not in (None, "int8"):
         raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
-    if quantize == "int8" and _model_family(model) != "single_block":
-        raise ValueError(
-            "quantize='int8' is implemented for the single-block family "
-            "(the bottleneck family's conv blocks change width per block; "
-            "no measured win to ship yet)."
-        )
     if params is None:
         if checkpoint is not None:
             from differential_equations_resnet_tpu.train.checkpoint import (
@@ -181,13 +176,11 @@ def export_model(
 
         if quantize == "int8":
             from differential_equations_resnet_tpu.models.quantized import (
-                apply_single_block_resnet_quantized,
+                apply_quantized,
             )
 
             def forward(p, s, x):
-                return apply_single_block_resnet_quantized(
-                    p, s, x, model.config
-                )
+                return apply_quantized(p, s, x, model.config)
 
         else:
 

@@ -189,14 +189,92 @@ def test_export_int8_roundtrip(tmp_path):
         np.testing.assert_allclose(predict(x), expected, atol=1e-6)
 
 
-def test_export_int8_rejects_bottleneck(tmp_path):
+# ---------------------------------------------------------------------------
+# Bottleneck family
+# ---------------------------------------------------------------------------
+
+
+def tiny_bottleneck(**kwargs):
+    """Two stages; the second's mid width (8) >= the lowered gate in the
+    tests, the first's (4) below it — exercising both paths in one model."""
     from differential_equations_resnet_tpu.models import (
         BottleneckResNetConfig,
         build_resnet,
     )
-    from differential_equations_resnet_tpu.utils.serving import export_model
 
-    model = build_resnet(BottleneckResNetConfig(num_classes=4))
-    with pytest.raises(ValueError, match="single-block"):
-        # Raises before any parameter initialization.
-        export_model(model, str(tmp_path / "exp"), quantize="int8")
+    defaults = dict(
+        image_shape=(32, 32, 3),
+        num_classes=5,
+        blocks_per_stage=(2, 2),
+        filters_per_block=((4, 4, 8), (8, 8, 16)),
+        kernel_type="regular",
+    )
+    defaults.update(kwargs)
+    return build_resnet(BottleneckResNetConfig(**defaults))
+
+
+@pytest.mark.parametrize("kernel_type,filters", [
+    ("regular", None),
+    ("antisymmetric", ((4, None, 8), (8, None, 16))),
+])
+def test_quantized_bottleneck_agrees_with_fp32(kernel_type, filters):
+    from differential_equations_resnet_tpu.models.quantized import (
+        apply_resnet_quantized,
+    )
+
+    kwargs = {"kernel_type": kernel_type}
+    if filters is not None:
+        kwargs["filters_per_block"] = filters
+    model = tiny_bottleneck(**kwargs)
+    params, state = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (4, 32, 32, 3))
+
+    ref, _ = model.apply(params, state, x, train=False)
+    q = apply_resnet_quantized(
+        params, state, x, model.config, min_mid_channels=8
+    )
+    ref, q = np.asarray(ref), np.asarray(q)
+    assert np.argmax(ref, -1).tolist() == np.argmax(q, -1).tolist()
+    np.testing.assert_allclose(q, ref, atol=1e-2)
+
+
+def test_quantized_bottleneck_narrow_gate_falls_back_exactly():
+    from differential_equations_resnet_tpu.models.quantized import (
+        apply_resnet_quantized,
+    )
+
+    model = tiny_bottleneck()
+    params, state = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (4, 32, 32, 3))
+
+    ref, _ = model.apply(params, state, x, train=False)
+    # Every mid width (4, 8) is below the gate -> all stages fall back.
+    q = apply_resnet_quantized(
+        params, state, x, model.config, min_mid_channels=256
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(q))
+
+
+def test_export_int8_bottleneck_roundtrip(tmp_path):
+    from differential_equations_resnet_tpu.utils.serving import (
+        export_model,
+        load_exported,
+    )
+    from differential_equations_resnet_tpu.models.quantized import (
+        apply_resnet_quantized,
+    )
+
+    model = tiny_bottleneck()
+    params, state = model.init(jax.random.key(0))
+    out = export_model(
+        model, str(tmp_path / "exp"), params=params, model_state=state,
+        batch_size=2, quantize="int8",
+    )
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    expected = np.asarray(
+        apply_resnet_quantized(params, state, x, model.config)
+    )
+    for prefer in (True, False):
+        predict, manifest = load_exported(out, prefer_stablehlo=prefer)
+        assert manifest["quantize"] == "int8"
+        np.testing.assert_allclose(predict(x), expected, atol=1e-6)
