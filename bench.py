@@ -34,7 +34,9 @@ the documented practical single-chip floor (docs/RESULTS.md roofline:
     docs/RESULTS.md section 6e).  C=128 fills the MXU's 128 lanes exactly,
     and MFU rises monotonically with depth (stem/head amortization) until
     the next depth step (192L) exceeds HBM capacity — this config is the
-    single-chip frontier of the framework's compute path.
+    single-chip frontier of the framework's compute path;
+  - `int8_serving`: the dynamic-w8a8 quantized inference pair at 64Lx128F
+    b=256 (docs/RESULTS.md section 2c; measured 1.68x over bf16, round 4).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -219,6 +221,70 @@ def main() -> None:
     # amortizes the stem/head; 192L exceeds HBM (18.6G > 15.75G).
     mfu_peak = utilization_section(128, 128, 256, 12, seed0=300)
 
+    # int8 dynamic-w8a8 serving (docs/RESULTS.md section 2c): the 64Lx128F
+    # b=256 inference pair — bf16 apply vs the quantized forward (measured
+    # 1.68x, round 4) — so regressions in the int8 path are visible in the
+    # artifact trail.  Chained in-jit scans over distinct batches, value-
+    # fetch synced.
+    def serving_img_per_sec(fwd, cfg, batch, chain_k):
+        import jax
+
+        shape = (chain_k, batch, *cfg.image_shape)
+        xs = jax.device_put(
+            jax.random.normal(jax.random.key(7), shape, jnp.float32)
+        )
+
+        @jax.jit
+        def run(xs):
+            def body(acc, xb):
+                return acc + jnp.sum(fwd(xb).astype(jnp.float32)), None
+
+            acc, _ = jax.lax.scan(body, 0.0, xs)
+            return acc
+
+        _ = float(run(xs))  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _ = float(run(xs))
+            best = min(best, time.perf_counter() - t0)
+        return chain_k * batch / best
+
+    from differential_equations_resnet_tpu.models.quantized import (
+        apply_single_block_resnet_quantized,
+    )
+
+    srv_cfg = imagenet32_config(
+        num_layers=64, num_filters=128, compute_dtype=jnp.bfloat16
+    )
+    srv_model = build_single_block_resnet(srv_cfg)
+    srv_params, srv_state = srv_model.init(jax.random.key(0))
+    srv_batch, srv_k = 256, 8
+    # Fail-soft: the serving pair costs two fresh 64-layer forward compiles
+    # on a load-variable compile service; a failure or stall here must not
+    # take down the training-throughput artifact above it.
+    try:
+        bf16_ips = serving_img_per_sec(
+            lambda xb: srv_model.apply(
+                srv_params, srv_state, xb, train=False
+            )[0],
+            srv_cfg, srv_batch, srv_k,
+        )
+        int8_ips = serving_img_per_sec(
+            lambda xb: apply_single_block_resnet_quantized(
+                srv_params, srv_state, xb, srv_cfg
+            ),
+            srv_cfg, srv_batch, srv_k,
+        )
+        int8_serving = {
+            "config": f"64Lx128F_1000c_b{srv_batch}",
+            "bf16_img_per_sec": round(bf16_ips, 1),
+            "int8_img_per_sec": round(int8_ips, 1),
+            "int8_speedup": round(int8_ips / bf16_ips, 2),
+        }
+    except Exception as e:  # pragma: no cover - backend-dependent
+        int8_serving = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     print(
         json.dumps(
             {
@@ -237,6 +303,7 @@ def main() -> None:
                 "large_batch": large_batch,
                 "wide_trunk": wide_trunk,
                 "mfu_peak": mfu_peak,
+                "int8_serving": int8_serving,
             }
         )
     )
