@@ -61,6 +61,10 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                         "Worth up to 1.55x at lane-filling trunk widths "
                         "(C>=64); ~2%% at the 16-filter reference configs "
                         "(docs/RESULTS.md 6c)")
+    p.add_argument("--int8-forward", action="store_true",
+                   help="dynamic-w8a8 int8 FORWARD convs in the trunk, "
+                        "straight-through-estimator backward (single-block "
+                        "family only; wins at C>=128 — docs/RESULTS.md 6f)")
 
 
 def _build_model(args):
@@ -102,6 +106,7 @@ def _build_model(args):
         use_pallas=args.use_pallas,
         s2d_block=getattr(args, "s2d_block", 2),
         compute_dtype=compute_dtype,
+        int8_forward=getattr(args, "int8_forward", False),
     )
     return build_single_block_resnet(config)
 

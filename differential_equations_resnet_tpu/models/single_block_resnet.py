@@ -116,6 +116,16 @@ class SingleBlockResNetConfig:
     pp_batch_axis: Any = None   # batches = one per stage.  pp_batch_axis
                                 # names a mesh axis the batch is already
                                 # sharded over (dp x pp composition).
+    int8_forward: bool = False  # run the trunk's FORWARD convs dynamic-w8a8
+                                # int8 on the MXU (ops/quantize.py), backward
+                                # unchanged (straight-through estimator).
+                                # Explicit opt-in: measured win only at
+                                # lane-filling widths (C >= 128, the same
+                                # regime as quantized serving — docs/
+                                # RESULTS.md section 2c/6f); narrower trunks
+                                # pay the quantize overhead for nothing.
+                                # Takes precedence over the s2d packed
+                                # layout (s2d targets small C, int8 wide C).
     tp_mesh: Any = None         # Mesh: channel-shard the conv trunk over
     tp_axis: str = "model"      # tp_axis (SURVEY.md section 2.3 row 3).
                                 # Packed antisymmetric params stay replicated
@@ -161,6 +171,13 @@ class SingleBlockResNetConfig:
                 "requires ONE mesh carrying both axes: pass the same Mesh "
                 "as pp_mesh and tp_mesh (with pp_axis and tp_axis naming "
                 "its two axes)."
+            )
+        if self.int8_forward and (
+            self.use_batch_norm or self.use_pallas or self.pp_mesh is not None
+        ):
+            raise ValueError(
+                "int8_forward requires the plain integrator identity stack: "
+                "use_batch_norm=False, use_pallas=False, pp_mesh=None."
             )
         if self.kernel_type == "antisymmetric" and self.kernel_size != 3:
             raise ValueError(
@@ -463,12 +480,19 @@ def _apply_identity_blocks(x, sp, ss, config, train):
         if config.integrator == "euler":
             if config.pp_mesh is not None:
                 return _apply_identity_blocks_pipelined(x, dense, config), {}
-            if _s2d_eligible(config, x):
+            if not config.int8_forward and _s2d_eligible(config, x):
                 return _apply_identity_blocks_s2d(x, dense, config), {}
+            step_fn = euler_relu_step
+            if config.int8_forward:
+                from differential_equations_resnet_tpu.ops.quantize import (
+                    euler_relu_step_int8,
+                )
+
+                step_fn = euler_relu_step_int8
             # Euler fast path: custom-VJP step saving a bool relu mask
             # instead of the fp32 pre-activation (euler_relu_step docstring).
             def body(y, p):
-                y = euler_relu_step(y, p.kernel, p.bias, config.h)
+                y = step_fn(y, p.kernel, p.bias, config.h)
                 # TP: activations channel-sharded between layers; the SPMD
                 # partitioner all-gathers y for the next conv's input and
                 # each shard produces its own c_out slice.
@@ -598,7 +622,12 @@ def _apply_identity_blocks_multieval(x, dense: ConvParams, config):
     from differential_equations_resnet_tpu.ops.conv import conv_relu_field
     from differential_equations_resnet_tpu.ops.integrators import get_integrator
 
-    packed = _s2d_eligible(config, x)
+    if config.int8_forward:
+        from differential_equations_resnet_tpu.ops.quantize import (
+            conv_relu_field_int8 as conv_relu_field,  # noqa: F811
+        )
+
+    packed = (not config.int8_forward) and _s2d_eligible(config, x)
     params, y = dense, x
     if packed:
         from differential_equations_resnet_tpu.ops.s2d import (

@@ -1,4 +1,4 @@
-"""Dynamic w8a8 int8 quantization for the inference conv path.
+"""Dynamic w8a8 int8 quantization for the conv path.
 
 The reference has no quantization story (its inference path is the same
 fp32 graph as training, `models/tfkeras_resnets.py` + `tf.nn.conv2d`); this
@@ -11,7 +11,7 @@ w8a8 euler stack runs 1.93x faster than bf16 (16.6 vs 32.0 ms/pass,
 per-step quantize/rescale overhead, which XLA fuses into the surrounding
 elementwise work.
 
-Scheme (inference only — no gradient story, no QAT):
+Scheme (shared by inference and the int8-forward training steps below):
   - weights: static symmetric per-output-channel int8; scales from the
     dense materialized kernel (the antisymmetric structure is a training
     constraint — at inference the dense kernel is just numbers);
@@ -25,6 +25,7 @@ Scheme (inference only — no gradient story, no QAT):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -98,3 +99,90 @@ def dynamic_int8_conv_same(
     if qp.bias is not None:
         z = z + qp.bias
     return z.astype(y.dtype)
+
+
+# --- int8-forward TRAINING steps (straight-through estimator) -------------
+#
+# The forward conv runs dynamic w8a8 on the MXU exactly as at inference
+# (weights re-quantized per layer per step — they change every update; the
+# O(9 C^2) quantization reductions are noise next to the conv's
+# O(N H W 9 C^2) MACs at training batch sizes); the BACKWARD is the plain
+# bf16/fp32 path of `ops/conv.py`, i.e. quantization is differentiated as
+# the identity (STE).  The bias needs no STE at all: it adds into the
+# rescaled fp accumulator, so db = sum(g_z) is exact.  Gradient formulas and
+# the memory-lean bool-mask residual are shared with the fp steps — the
+# custom VJPs below reuse `ops.conv`'s backward functions verbatim, with the
+# relu mask taken from the QUANTIZED pre-activation (what the forward
+# actually computed).  No reference counterpart (the reference trains fp32
+# only, `training/training.py`); this is the training-side extension of the
+# serving path measured in docs/RESULTS.md section 2c.
+
+
+def euler_relu_step_int8(y: jax.Array, kernel: jax.Array, bias: jax.Array, h: float):
+    """One forward-Euler step ``y + h * relu(int8conv(y, K) + b)`` with the
+    dynamic-w8a8 forward conv and the STE (bf16/fp32) backward of
+    :func:`differential_equations_resnet_tpu.ops.conv.euler_relu_step`.
+
+    ``bias`` must be an array (see euler_relu_step's note); pass
+    ``jnp.zeros(C)`` for a bias-free step."""
+    if bias is None:
+        raise ValueError(
+            "euler_relu_step_int8 requires an array bias (got None); pass "
+            "jnp.zeros(channels) for a bias-free step."
+        )
+    return _euler_relu_step_int8(y, kernel, bias, h)
+
+
+def _int8_preactivation(y, kernel, bias):
+    qp = quantize_kernel_per_cout(kernel, bias)
+    return dynamic_int8_conv_same(y, qp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _euler_relu_step_int8(y, kernel, bias, h):
+    z = _int8_preactivation(y, kernel, bias)
+    return y + h * jax.nn.relu(z)
+
+
+def _euler_relu_int8_fwd(y, kernel, bias, h):
+    z = _int8_preactivation(y, kernel, bias)
+    return y + h * jax.nn.relu(z), (y, kernel, z > 0)
+
+
+def conv_relu_field_int8(y: jax.Array, kernel: jax.Array, bias: jax.Array):
+    """One ODE field evaluation ``relu(int8conv(y, K) + b)`` — the int8-
+    forward analogue of
+    :func:`differential_equations_resnet_tpu.ops.conv.conv_relu_field`, for
+    the multi-eval integrators (midpoint/rk4).  STE backward, bool-mask
+    residual."""
+    if bias is None:
+        raise ValueError(
+            "conv_relu_field_int8 requires an array bias (got None); pass "
+            "jnp.zeros(channels) for a bias-free field."
+        )
+    return _conv_relu_field_int8(y, kernel, bias)
+
+
+@jax.custom_vjp
+def _conv_relu_field_int8(y, kernel, bias):
+    return jax.nn.relu(_int8_preactivation(y, kernel, bias))
+
+
+def _conv_relu_field_int8_fwd(y, kernel, bias):
+    z = _int8_preactivation(y, kernel, bias)
+    return jax.nn.relu(z), (y, kernel, z > 0)
+
+
+def _defvjps():
+    # Deferred import: ops.conv is a sibling leaf module (no cycle in
+    # practice), but keeping the import local makes the dependency
+    # direction explicit — quantize borrows conv's backward functions.
+    from differential_equations_resnet_tpu.ops import conv as _conv
+
+    _euler_relu_step_int8.defvjp(_euler_relu_int8_fwd, _conv._euler_relu_bwd)
+    _conv_relu_field_int8.defvjp(
+        _conv_relu_field_int8_fwd, _conv._conv_relu_field_bwd
+    )
+
+
+_defvjps()

@@ -42,6 +42,13 @@ def main() -> int:
                         help="run each batch size in fp32 AND bfloat16 "
                              "compute (same lr), reporting convergence "
                              "deltas across dtypes too")
+    parser.add_argument("--compare-int8", action="store_true",
+                        help="additionally run each arm with int8-forward "
+                             "training (dynamic-w8a8 forward convs, "
+                             "straight-through-estimator backward) — the "
+                             "convergence A/B for docs/RESULTS.md 6f; pair "
+                             "with --num-filters 128 where the speedup "
+                             "exists")
     args = parser.parse_args()
 
     from differential_equations_resnet_tpu.utils.compile_cache import (
@@ -80,17 +87,19 @@ def main() -> int:
     import jax.numpy as jnp
 
     arms = [
-        (int(b), dtype)
+        (int(b), dtype, int8)
         for b in args.batches.split(",")
         for dtype in ((jnp.float32, jnp.bfloat16) if args.compare_bf16
                       else (jnp.float32,))
+        for int8 in ((False, True) if args.compare_int8 else (False,))
     ]
     runs = []
-    for batch, compute_dtype in arms:
+    for batch, compute_dtype, int8_forward in arms:
         lr = args.base_lr * batch / 32.0
         config = cifar10_single_block_config(
             num_layers=args.num_layers, num_filters=args.num_filters,
             compute_dtype=compute_dtype,
+            int8_forward=int8_forward,
         )
         model = build_single_block_resnet(config)
         trainer = Training(
@@ -119,6 +128,7 @@ def main() -> int:
             "batch": batch,
             "accum_steps": args.accum_steps,
             "dtype": jnp.dtype(compute_dtype).name,
+            "int8_forward": int8_forward,
             "lr": lr,
             "steps": steps,
             "final_train_loss": history["train"][-1]["mean_loss"],
@@ -142,6 +152,7 @@ def main() -> int:
             {
                 "batch": r["batch"],
                 "dtype": r["dtype"],
+                "int8_forward": r["int8_forward"],
                 "train_loss_delta": round(
                     r["final_train_loss"] - base["final_train_loss"], 4
                 ),
