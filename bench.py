@@ -35,6 +35,9 @@ the documented practical single-chip floor (docs/RESULTS.md roofline:
     and MFU rises monotonically with depth (stem/head amortization) until
     the next depth step (192L) exceeds HBM capacity — this config is the
     single-chip frontier of the framework's compute path;
+  - `int8_train`: the mfu_peak config trained with int8-forward convs
+    (STE backward — docs/RESULTS.md section 6f; measured 1.12x over the
+    bf16 step, 146.9 model TFLOPS, round 4);
   - `int8_serving`: the dynamic-w8a8 quantized inference pair at 64Lx128F
     b=256 (docs/RESULTS.md section 2c; measured 1.68x over bf16, round 4).
 
@@ -204,14 +207,16 @@ def main() -> None:
     # step is MXU-bound where the model lets it be.
     from differential_equations_resnet_tpu.experiments import imagenet32_config
 
-    def utilization_section(num_layers, num_filters, batch, scan_k, seed0):
+    def utilization_section(num_layers, num_filters, batch, scan_k, seed0,
+                            label_suffix="", **cfg_overrides):
         cfg = imagenet32_config(
             num_layers=num_layers, num_filters=num_filters,
-            compute_dtype=jnp.bfloat16,
+            compute_dtype=jnp.bfloat16, **cfg_overrides,
         )
         return metrics_section(
             build_single_block_resnet(cfg), batch, scan_k, seed0,
-            label=f"{num_layers}Lx{num_filters}F_1000c_b{batch}_bf16",
+            label=(f"{num_layers}Lx{num_filters}F_1000c_b{batch}_bf16"
+                   + label_suffix),
         )
 
     # 64Lx64F b=256: the round-3 wide-trunk row, kept for cross-round trend.
@@ -220,6 +225,22 @@ def main() -> None:
     # TFLOPS, round-4 sweep).  C=128 fills the MXU lanes exactly; depth
     # amortizes the stem/head; 192L exceeds HBM (18.6G > 15.75G).
     mfu_peak = utilization_section(128, 128, 256, 12, seed0=300)
+
+    # int8-forward TRAINING at the same peak config (docs/RESULTS.md
+    # section 6f): dynamic-w8a8 forward convs, straight-through-estimator
+    # backward — measured 1.12x over the bf16 step (4.40 -> 4.95 steps/s,
+    # 146.9 model TFLOPS, round 4), the single-chip training-throughput
+    # frontier.  Fail-soft like the serving pair below (one fresh compile).
+    try:
+        int8_train = utilization_section(
+            128, 128, 256, 12, seed0=300, label_suffix="_int8fwd",
+            int8_forward=True,
+        )
+        int8_train["speedup_vs_bf16"] = round(
+            int8_train["steps_per_sec"] / mfu_peak["steps_per_sec"], 3
+        )
+    except Exception as e:  # pragma: no cover - backend-dependent
+        int8_train = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     # int8 dynamic-w8a8 serving (docs/RESULTS.md section 2c): the 64Lx128F
     # b=256 inference pair — bf16 apply vs the quantized forward (measured
@@ -303,6 +324,7 @@ def main() -> None:
                 "large_batch": large_batch,
                 "wide_trunk": wide_trunk,
                 "mfu_peak": mfu_peak,
+                "int8_train": int8_train,
                 "int8_serving": int8_serving,
             }
         )

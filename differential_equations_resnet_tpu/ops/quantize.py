@@ -65,6 +65,38 @@ def quantize_kernel_per_cout(
     return QuantizedConvParams(kernel_q=kq, scale=scale, bias=b)
 
 
+def quantize_kernel_per_tensor(
+    kernel: jax.Array, bias: Optional[jax.Array] = None
+) -> QuantizedConvParams:
+    """Symmetric per-TENSOR int8 quantization of an HWIO kernel (optionally
+    with leading stack axes).
+
+    One scale for the whole kernel, so the map k -> q(k) is odd-symmetric
+    (``jnp.round(-x) == -jnp.round(x)``, clip is symmetric at ±127): a
+    skew-centrosymmetric / channel-antisymmetric kernel quantizes to an
+    EXACTLY skew-centrosymmetric int8 kernel, and the dequantized conv
+    matrix stays antisymmetric — the stability property the architecture is
+    built on (SURVEY.md §overview).  Per-output-channel scales
+    (:func:`quantize_kernel_per_cout`) break that pairing (q(K)[...,i,j]*s_j
+    != -rot180(q(K)[...,j,i])*s_i), which measured as DIVERGENCE when the
+    quantized forward is in the training loop at scaled learning rates
+    (docs/RESULTS.md section 6f) — training uses this per-tensor variant;
+    serving keeps per-c_out (better pointwise accuracy, no feedback loop)."""
+    k = kernel.astype(jnp.float32)
+    spatial = tuple(range(k.ndim - 4, k.ndim))
+    absmax = jnp.max(jnp.abs(k), axis=spatial)
+    scale = jnp.maximum(absmax, jnp.finfo(jnp.float32).tiny) / 127.0
+    kq = jnp.clip(
+        jnp.round(k / scale[..., None, None, None, None]), -127, 127
+    ).astype(jnp.int8)
+    # Broadcast the scalar scale to (..., c_out) so QuantizedConvParams
+    # consumers (dynamic_int8_conv_same's per-c_out rescale) need no case
+    # split.
+    scale = jnp.broadcast_to(scale[..., None], (*scale.shape, k.shape[-1]))
+    b = None if bias is None else bias.astype(jnp.float32)
+    return QuantizedConvParams(kernel_q=kq, scale=scale, bias=b)
+
+
 def quantize_activations_per_tensor(y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Dynamic symmetric per-tensor int8 quantization: returns (y_q, scale)
     with ``y ~= y_q * scale``."""
@@ -116,72 +148,106 @@ def dynamic_int8_conv_same(
 # actually computed).  No reference counterpart (the reference trains fp32
 # only, `training/training.py`); this is the training-side extension of the
 # serving path measured in docs/RESULTS.md section 2c.
+#
+# Weight scales default to PER-TENSOR here (unlike serving's per-c_out):
+# per-c_out scales break the quantized kernel's exact skew-centrosymmetry
+# and measured as divergence once the quantized forward is inside the
+# training feedback loop at scaled learning rates — see
+# quantize_kernel_per_tensor's docstring and docs/RESULTS.md section 6f.
 
 
-def euler_relu_step_int8(y: jax.Array, kernel: jax.Array, bias: jax.Array, h: float):
+def euler_relu_step_int8(
+    y: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    h: float,
+    weight_scale: str = "per_tensor",
+):
     """One forward-Euler step ``y + h * relu(int8conv(y, K) + b)`` with the
     dynamic-w8a8 forward conv and the STE (bf16/fp32) backward of
     :func:`differential_equations_resnet_tpu.ops.conv.euler_relu_step`.
 
-    ``bias`` must be an array (see euler_relu_step's note); pass
+    ``weight_scale``: 'per_tensor' (default — preserves the antisymmetric
+    structure exactly; the stable choice in the training loop) or
+    'per_cout' (serving's scheme; measured divergent at depth — section
+    6f).  ``bias`` must be an array (see euler_relu_step's note); pass
     ``jnp.zeros(C)`` for a bias-free step."""
     if bias is None:
         raise ValueError(
             "euler_relu_step_int8 requires an array bias (got None); pass "
             "jnp.zeros(channels) for a bias-free step."
         )
-    return _euler_relu_step_int8(y, kernel, bias, h)
+    return _euler_relu_step_int8(y, kernel, bias, h, weight_scale)
 
 
-def _int8_preactivation(y, kernel, bias):
-    qp = quantize_kernel_per_cout(kernel, bias)
+def _int8_preactivation(y, kernel, bias, weight_scale):
+    if weight_scale == "per_tensor":
+        qp = quantize_kernel_per_tensor(kernel, bias)
+    elif weight_scale == "per_cout":
+        qp = quantize_kernel_per_cout(kernel, bias)
+    else:
+        raise ValueError(
+            f"weight_scale must be 'per_tensor' or 'per_cout', got "
+            f"{weight_scale!r}."
+        )
     return dynamic_int8_conv_same(y, qp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _euler_relu_step_int8(y, kernel, bias, h):
-    z = _int8_preactivation(y, kernel, bias)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _euler_relu_step_int8(y, kernel, bias, h, weight_scale):
+    z = _int8_preactivation(y, kernel, bias, weight_scale)
     return y + h * jax.nn.relu(z)
 
 
-def _euler_relu_int8_fwd(y, kernel, bias, h):
-    z = _int8_preactivation(y, kernel, bias)
+def _euler_relu_int8_fwd(y, kernel, bias, h, weight_scale):
+    z = _int8_preactivation(y, kernel, bias, weight_scale)
     return y + h * jax.nn.relu(z), (y, kernel, z > 0)
 
 
-def conv_relu_field_int8(y: jax.Array, kernel: jax.Array, bias: jax.Array):
+def conv_relu_field_int8(
+    y: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    weight_scale: str = "per_tensor",
+):
     """One ODE field evaluation ``relu(int8conv(y, K) + b)`` — the int8-
     forward analogue of
     :func:`differential_equations_resnet_tpu.ops.conv.conv_relu_field`, for
     the multi-eval integrators (midpoint/rk4).  STE backward, bool-mask
-    residual."""
+    residual, per-tensor weight scales by default (see euler_relu_step_int8)."""
     if bias is None:
         raise ValueError(
             "conv_relu_field_int8 requires an array bias (got None); pass "
             "jnp.zeros(channels) for a bias-free field."
         )
-    return _conv_relu_field_int8(y, kernel, bias)
+    return _conv_relu_field_int8(y, kernel, bias, weight_scale)
 
 
-@jax.custom_vjp
-def _conv_relu_field_int8(y, kernel, bias):
-    return jax.nn.relu(_int8_preactivation(y, kernel, bias))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv_relu_field_int8(y, kernel, bias, weight_scale):
+    return jax.nn.relu(_int8_preactivation(y, kernel, bias, weight_scale))
 
 
-def _conv_relu_field_int8_fwd(y, kernel, bias):
-    z = _int8_preactivation(y, kernel, bias)
+def _conv_relu_field_int8_fwd(y, kernel, bias, weight_scale):
+    z = _int8_preactivation(y, kernel, bias, weight_scale)
     return jax.nn.relu(z), (y, kernel, z > 0)
 
 
 def _defvjps():
     # Deferred import: ops.conv is a sibling leaf module (no cycle in
     # practice), but keeping the import local makes the dependency
-    # direction explicit — quantize borrows conv's backward functions.
+    # direction explicit — quantize borrows conv's backward functions
+    # (quantization is differentiated as the identity, so the STE backward
+    # IS the fp backward; the extra leading nondiff args are dropped).
     from differential_equations_resnet_tpu.ops import conv as _conv
 
-    _euler_relu_step_int8.defvjp(_euler_relu_int8_fwd, _conv._euler_relu_bwd)
+    _euler_relu_step_int8.defvjp(
+        _euler_relu_int8_fwd,
+        lambda h, weight_scale, res, g: _conv._euler_relu_bwd(h, res, g),
+    )
     _conv_relu_field_int8.defvjp(
-        _conv_relu_field_int8_fwd, _conv._conv_relu_field_bwd
+        _conv_relu_field_int8_fwd,
+        lambda weight_scale, res, g: _conv._conv_relu_field_bwd(res, g),
     )
 
 

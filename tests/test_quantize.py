@@ -288,17 +288,19 @@ def test_export_int8_bottleneck_roundtrip(tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _ste_oracle_step(y, k, b, h):
+def _ste_oracle_step(y, k, b, h, quantizer=None):
     """Reference STE formulation by plain autodiff: the step's VALUE comes
     from the quantized conv, its GRADIENT flows through the fp conv — so
     `euler_relu_step_int8`'s custom VJP must match this expression's autodiff
     bit for bit (same mask, same linear-transpose cotangents)."""
     from differential_equations_resnet_tpu.ops.conv import conv2d_same
-
-    z_bf = conv2d_same(y, k, bias=b)
-    qp = quantize_kernel_per_cout(
-        jax.lax.stop_gradient(k), jax.lax.stop_gradient(b)
+    from differential_equations_resnet_tpu.ops.quantize import (
+        quantize_kernel_per_tensor,
     )
+
+    quantizer = quantizer or quantize_kernel_per_tensor
+    z_bf = conv2d_same(y, k, bias=b)
+    qp = quantizer(jax.lax.stop_gradient(k), jax.lax.stop_gradient(b))
     z_q = dynamic_int8_conv_same(jax.lax.stop_gradient(y), qp)
     z = z_bf + jax.lax.stop_gradient(z_q - z_bf)
     return y + h * jax.nn.relu(z)
@@ -334,15 +336,76 @@ def test_euler_relu_step_int8_matches_ste_oracle():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_euler_relu_step_int8_per_cout_matches_ste_oracle():
+    """The serving-scheme (per-c_out) variant stays available by explicit
+    arg and must match its own oracle."""
+    from differential_equations_resnet_tpu.ops.quantize import (
+        euler_relu_step_int8,
+    )
+
+    y, k, b, cot = _step_operands()
+    h = 0.125
+    np.testing.assert_array_equal(
+        np.asarray(euler_relu_step_int8(y, k, b, h, "per_cout")),
+        np.asarray(
+            _ste_oracle_step(y, k, b, h, quantizer=quantize_kernel_per_cout)
+        ),
+    )
+    g_int8 = jax.grad(
+        lambda *a: jnp.vdot(euler_relu_step_int8(*a, h, "per_cout"), cot),
+        argnums=(0, 1, 2),
+    )(y, k, b)
+    g_oracle = jax.grad(
+        lambda *a: jnp.vdot(
+            _ste_oracle_step(*a, h, quantizer=quantize_kernel_per_cout), cot
+        ),
+        argnums=(0, 1, 2),
+    )(y, k, b)
+    for got, want in zip(g_int8, g_oracle):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_per_tensor_quantization_preserves_antisymmetric_structure():
+    """The reason training defaults to per-tensor weight scales: quantizing
+    with ONE scale is odd-symmetric, so the int8 kernel keeps the exact
+    skew pairing kq[:,:,i,j] == -rot180(kq[:,:,j,i]) and the dequantized
+    conv matrix stays antisymmetric.  Per-c_out scales break the pairing
+    after dequantization (measured as training divergence —
+    docs/RESULTS.md 6f)."""
+    from differential_equations_resnet_tpu.ops.antisymmetric import (
+        init_antisym_3x3,
+        materialize_3x3,
+    )
+    from differential_equations_resnet_tpu.ops.quantize import (
+        quantize_kernel_per_tensor,
+    )
+
+    params = init_antisym_3x3(jax.random.key(0), 8)
+    k = materialize_3x3(params, gamma=0.0)
+    kq = np.asarray(
+        quantize_kernel_per_tensor(k).kernel_q, dtype=np.int32
+    )
+    mirrored = -kq[::-1, ::-1].transpose(0, 1, 3, 2)
+    np.testing.assert_array_equal(kq, mirrored)
+
+    # Per-c_out dequantization breaks the pairing whenever two channels'
+    # scales differ (they do here).
+    qp = quantize_kernel_per_cout(k)
+    deq = np.asarray(qp.kernel_q, np.float32) * np.asarray(qp.scale)
+    deq_mirr = -deq[::-1, ::-1].transpose(0, 1, 3, 2)
+    assert np.abs(deq - deq_mirr).max() > 0
+
+
 def test_conv_relu_field_int8_matches_ste_oracle():
     from differential_equations_resnet_tpu.ops.conv import conv2d_same
     from differential_equations_resnet_tpu.ops.quantize import (
         conv_relu_field_int8,
+        quantize_kernel_per_tensor,
     )
 
     def oracle(y, k, b):
         z_bf = conv2d_same(y, k, bias=b)
-        qp = quantize_kernel_per_cout(
+        qp = quantize_kernel_per_tensor(
             jax.lax.stop_gradient(k), jax.lax.stop_gradient(b)
         )
         z_q = dynamic_int8_conv_same(jax.lax.stop_gradient(y), qp)
