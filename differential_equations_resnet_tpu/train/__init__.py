@@ -7,6 +7,7 @@ from differential_equations_resnet_tpu.train.metrics import StreamingMetrics  # 
 from differential_equations_resnet_tpu.train.schedules import (  # noqa: F401
     constant_schedule,
     exponential_decay_schedule,
+    linear_warmup_schedule,
     piecewise_constant_schedule,
 )
 from differential_equations_resnet_tpu.train.telemetry import (  # noqa: F401

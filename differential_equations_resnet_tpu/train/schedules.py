@@ -41,3 +41,29 @@ def exponential_decay_schedule(
         return initial * (decay_rate ** exponent)
 
     return schedule
+
+
+def linear_warmup_schedule(
+    peak: float, warmup_steps: int, after: Schedule | None = None
+) -> Schedule:
+    """Linear ramp 0 -> ``peak`` over ``warmup_steps``, then ``after(step -
+    warmup_steps)`` (default: constant ``peak``).
+
+    The measured use case (docs/RESULTS.md section 6f): Goyal-scaled
+    large-batch learning rates sit near the stability boundary of the deep
+    antisymmetric ODE stack, and int8-forward training's quantization noise
+    tightens that boundary further — a cold start at the scaled lr measured
+    as eval-accuracy loss (and, with per-c_out weight scales, divergence).
+    Warmup enters the high-lr regime with partially-adapted Adam moments.
+    No reference counterpart (the reference trains small-batch at 1e-3,
+    `training/training.py:563-597`)."""
+    if warmup_steps < 1:
+        raise ValueError("warmup_steps must be >= 1")
+    after = after or constant_schedule(peak)
+
+    def schedule(step: int) -> float:
+        if step < warmup_steps:
+            return peak * (step + 1) / warmup_steps
+        return after(step - warmup_steps)
+
+    return schedule

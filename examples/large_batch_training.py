@@ -30,6 +30,11 @@ def main() -> int:
                         help="comma-separated batch sizes to A/B")
     parser.add_argument("--base-lr", type=float, default=1e-3,
                         help="learning rate at batch 32 (scaled linearly)")
+    parser.add_argument("--warmup-steps", type=int, default=0,
+                        help="linear lr warmup steps (0 = off): the measured "
+                             "remedy for Goyal-scaled lrs near the deep "
+                             "antisymmetric stack's stability boundary, "
+                             "which int8-forward tightens (RESULTS 6f)")
     parser.add_argument("--num-layers", type=int, default=64)
     parser.add_argument("--num-filters", type=int, default=16)
     parser.add_argument("--cifar10-dir", default=None)
@@ -111,12 +116,20 @@ def main() -> int:
             seed=0, data_seed=0,
             accum_steps=args.accum_steps,
         )
+        if args.warmup_steps > 0:
+            from differential_equations_resnet_tpu.train import (
+                linear_warmup_schedule,
+            )
+
+            lr_schedule = linear_warmup_schedule(lr, args.warmup_steps)
+        else:
+            lr_schedule = lambda step, lr=lr: lr  # noqa: E731
         steps_per_epoch = len(train_x) // batch
         t0 = time.time()
         history = trainer.train(
             epochs=args.epochs,
             steps_per_epoch=steps_per_epoch,
-            learning_rate_schedule=lambda step, lr=lr: lr,
+            learning_rate_schedule=lr_schedule,
             eval_frequency=args.epochs,  # one eval, at the end
             device_data=True,
             verbose=True,

@@ -78,6 +78,18 @@ def test_schedules():
     assert s(5) == 1.0 and s(15) == 0.1 and s(25) == 0.01
     e = exponential_decay_schedule(1.0, 0.5, 10, staircase=True)
     assert e(9) == 1.0 and e(10) == 0.5
+    from differential_equations_resnet_tpu.train import linear_warmup_schedule
+
+    w = linear_warmup_schedule(0.8, 4)
+    assert w(0) == 0.2 and w(3) == 0.8 and w(100) == 0.8
+    wd = linear_warmup_schedule(
+        1.0, 2, after=piecewise_constant_schedule([5], [1.0, 0.1])
+    )
+    assert wd(0) == 0.5 and wd(1) == 1.0 and wd(6) == 1.0 and wd(7) == 0.1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        linear_warmup_schedule(1.0, 0)
 
 
 def test_smoke_training_reduces_loss(tmp_path):
