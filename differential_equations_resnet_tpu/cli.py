@@ -187,10 +187,20 @@ def cmd_train(args) -> int:
         # Whole-epoch device residency draws batches without replacement;
         # clamp the epoch to the dataset size.
         steps_per_epoch = min(steps_per_epoch, len(train_x) // args.batch_size)
+    if args.warmup_steps > 0:
+        from differential_equations_resnet_tpu.train import (
+            linear_warmup_schedule,
+        )
+
+        lr_schedule = linear_warmup_schedule(
+            args.learning_rate, args.warmup_steps
+        )
+    else:
+        lr_schedule = lambda step: args.learning_rate  # noqa: E731
     trainer.train(
         epochs=args.epochs,
         steps_per_epoch=steps_per_epoch,
-        learning_rate_schedule=lambda step: args.learning_rate,
+        learning_rate_schedule=lr_schedule,
         eval_dataset=args.eval_dataset,
         eval_steps=args.eval_steps,  # None = one full pass (Training default)
         save_during_training=args.save_dir is not None,
@@ -692,6 +702,12 @@ def main(argv=None) -> int:
                         "memory of one microbatch (effective batches beyond "
                         "HBM capacity)")
     p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear lr warmup over this many steps, then "
+                        "constant --learning-rate (0 = off). Measured: "
+                        "Goyal-scaled large-batch lrs need warmup — with "
+                        "int8-forward it turned eval acc 0.205 into 1.0 at "
+                        "lr 8e-3 (docs/RESULTS.md section 6f)")
     p.add_argument("--cifar10-dir", default=None)
     p.add_argument("--synthetic-train-size", type=int, default=None,
                    help="synthetic-fallback dataset size (default 50000)")

@@ -34,7 +34,10 @@ def _tiny_train_args(tmp_path, extra=()):
 
 
 def test_cli_train_analyze_roundtrip(tmp_path, capsys):
-    assert main(_tiny_train_args(tmp_path)) == 0
+    # --warmup-steps exercises the CLI -> linear_warmup_schedule wiring;
+    # lr values are host-side schedule outputs, so this reuses the exact
+    # same compiled step (zero extra XLA programs).
+    assert main(_tiny_train_args(tmp_path, ["--warmup-steps", "2"])) == 0
     (train_csv,) = glob.glob(str(tmp_path / "csv" / "*_training.csv"))
     (eval_csv,) = glob.glob(str(tmp_path / "csv" / "*_evaluation.csv"))
     rows = np.loadtxt(train_csv, skiprows=1)
