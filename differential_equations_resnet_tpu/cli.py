@@ -187,16 +187,9 @@ def cmd_train(args) -> int:
         # Whole-epoch device residency draws batches without replacement;
         # clamp the epoch to the dataset size.
         steps_per_epoch = min(steps_per_epoch, len(train_x) // args.batch_size)
-    if args.warmup_steps > 0:
-        from differential_equations_resnet_tpu.train import (
-            linear_warmup_schedule,
-        )
+    from differential_equations_resnet_tpu.train import linear_warmup_schedule
 
-        lr_schedule = linear_warmup_schedule(
-            args.learning_rate, args.warmup_steps
-        )
-    else:
-        lr_schedule = lambda step: args.learning_rate  # noqa: E731
+    lr_schedule = linear_warmup_schedule(args.learning_rate, args.warmup_steps)
     trainer.train(
         epochs=args.epochs,
         steps_per_epoch=steps_per_epoch,

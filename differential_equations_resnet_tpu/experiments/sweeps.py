@@ -8,6 +8,7 @@ machinery behind BENCH results and capacity planning."""
 
 from __future__ import annotations
 
+import sys
 import time
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -126,7 +127,25 @@ def measure_train_throughput(
 # 4.8e9 saved residual elements per device compiles and runs (144Lx128F b256
 # = 64.8% MFU; 96Lx128F b384 = 66.4%), 5.4e9+ fails to compile (160Lxb256,
 # 128Lxb384).  Threshold between the two.  docs/RESULTS.md section 6e.
-_NO_REMAT_MAX_ELEMS = 5.0e9
+# The measurement was taken in bf16, where each saved element costs
+# 2 B (pre-step activation) + 1 B (bool relu mask) = 3 B, so the capacity
+# is really ~1.5e10 BYTES/device; wider dtypes hit it at fewer elements
+# (fp32: 5 B/element -> ~3.0e9).  Expressing the gate in bytes keeps the
+# fp32 sweep (the CLI default without --bf16) from being auto-assigned
+# remat=False in the 3e9-5e9-element band where it cannot compile.
+_NO_REMAT_MAX_BYTES = 5.0e9 * 3.0
+
+
+def _auto_cell_remat(width, depth, per_device_batch, compute_dtype,
+                     image_hw=(32, 32)):
+    """(needs_remat, est_saved_bytes_per_device) for one sweep cell.
+
+    Per saved element: one pre-step activation at the compute dtype plus
+    the 1-byte bool relu mask the custom-VJP step stores."""
+    elems = depth * per_device_batch * image_hw[0] * image_hw[1] * width
+    elem_bytes = jnp.dtype(compute_dtype).itemsize + 1
+    est_bytes = elems * elem_bytes
+    return est_bytes > _NO_REMAT_MAX_BYTES, est_bytes
 
 
 def width_depth_sweep(
@@ -144,8 +163,9 @@ def width_depth_sweep(
 
     ``remat=None`` (default) enables rematerialization only where the
     no-remat scan cannot compile — estimated per-device saved-residual
-    elements (L x per-device batch x H x W x C) above the measured
-    ``_NO_REMAT_MAX_ELEMS`` capacity — and PRINTS which cells got it:
+    bytes (L x per-device batch x H x W x C x (dtype + mask bytes)) above
+    the measured ``_NO_REMAT_MAX_BYTES`` capacity — and reports which
+    cells got it on stderr:
     remat costs a measured ~13 MFU points at these shapes (144Lx128F b256
     bf16: 64.8% plain vs 51.9% remat — docs/RESULTS.md section 6e), so a
     silent heuristic contaminates sweep results (an earlier depth>=64 rule
@@ -155,15 +175,18 @@ def width_depth_sweep(
     for width in widths:
         for depth in depths:
             if remat is None:
-                elems = depth * (batch_size // n_devices) * 32 * 32 * width
-                cell_remat = elems > _NO_REMAT_MAX_ELEMS
+                cell_remat, est_bytes = _auto_cell_remat(
+                    width, depth, batch_size // n_devices, compute_dtype
+                )
                 if cell_remat:
+                    # stderr: cmd_sweep's stdout contract is ONE JSON line.
                     print(
                         f"# {width}x{depth}: remat enabled (est. "
-                        f"{elems / 1e9:.1f}e9 saved elements/device > "
-                        f"{_NO_REMAT_MAX_ELEMS / 1e9:.1f}e9 no-remat "
+                        f"{est_bytes / 1e9:.1f} GB saved residuals/device "
+                        f"> {_NO_REMAT_MAX_BYTES / 1e9:.1f} GB no-remat "
                         "capacity); expect ~13 MFU points below the "
                         "no-remat rate at these shapes",
+                        file=sys.stderr,
                         flush=True,
                     )
             else:

@@ -340,10 +340,11 @@ def make_quantized_forward(
     (trunk width 128 for single-block, mid width 256 for bottleneck)."""
     single = isinstance(model.config, SingleBlockResNetConfig)
     if model_state is None:
-        if not single:
+        if not single or getattr(model.config, "use_batch_norm", False):
             raise ValueError(
-                "make_quantized_forward needs model_state for the "
-                "bottleneck family (BatchNorm running statistics)."
+                "make_quantized_forward needs model_state for models with "
+                "BatchNorm running statistics (the bottleneck family, and "
+                "single-block configs with use_batch_norm=True)."
             )
         model_state = {"stages": [{} for _ in stage_plans(model.config)]}
 

@@ -410,6 +410,23 @@ def _dense_blocks(blocks, config) -> ConvParams:
     )
 
 
+def _exec_platform(config) -> str:
+    """The EXECUTING devices' platform: `config.device_platform` (bound
+    from the mesh by the step builders; an explicit config value wins),
+    falling back to the process default backend for meshless use — on
+    mixed-platform hosts default_backend() alone misidentifies where the
+    program runs (cf. utils/compile_cache.py's platform notes).  Shared by
+    every layout-sensitive gate (`_s2d_eligible`, `_warn_fp32_conv_cliff`)
+    so they cannot drift apart."""
+    return getattr(config, "device_platform", None) or jax.default_backend()
+
+
+def _per_device(n: int, config) -> int:
+    """Divide a global (mesh-traced) count down to per-device using the
+    mesh-bound `config.data_axis_size` (1 when meshless)."""
+    return n // max(int(getattr(config, "data_axis_size", 1)), 1)
+
+
 def _warn_fp32_conv_cliff(config, x):
     """Trace-time advisories for the two measured large-batch conv-lowering
     cliffs (docs/RESULTS.md sections 6c/6e).  Both key on the EXECUTING
@@ -431,13 +448,10 @@ def _warn_fp32_conv_cliff(config, x):
        effective batch: gradient accumulation (`accum_steps`) or more data
        shards, either of which brings the per-device rows back to the
        256-384 sweet spot."""
-    platform = getattr(config, "device_platform", None) or jax.default_backend()
-    if platform != "tpu":
+    if _exec_platform(config) != "tpu":
         return
     channels = x.shape[-1]
-    per_device_batch = x.shape[0] // max(
-        int(getattr(config, "data_axis_size", 1)), 1
-    )
+    per_device_batch = _per_device(x.shape[0], config)
     if channels < 64:
         return
     if per_device_batch >= 512:
@@ -537,20 +551,15 @@ def _s2d_eligible(config, x) -> bool:
     a per-device property — the step builders bind `config.data_axis_size`
     from the mesh so the gate divides down to per-device rows."""
     b = config.s2d_block
-    rows = x.shape[0] * x.shape[1] * x.shape[2]
-    rows //= max(int(getattr(config, "data_axis_size", 1)), 1)
+    rows = _per_device(x.shape[0] * x.shape[1] * x.shape[2], config)
     override = getattr(config, "s2d_max_rows", None)
     max_rows = _S2D_MAX_ROWS if override is None else override
     # Packing trades 4x FLOPs for MXU lane occupancy — an ACCELERATOR
     # property.  On CPU platforms there are no lanes to fill and the trade
-    # is a pure FLOP loss, so the row rule applies only off-CPU.  The
-    # platform signal is the EXECUTING devices' (config.device_platform,
-    # bound from the mesh by the step builders; an explicit config value
-    # wins), falling back to the process default backend for meshless use —
-    # on mixed-platform hosts default_backend() alone misidentifies where
-    # the program runs (cf. utils/compile_cache.py's platform notes).
-    platform = getattr(config, "device_platform", None) or jax.default_backend()
-    backend_ok = platform != "cpu"
+    # is a pure FLOP loss, so the row rule applies only off-CPU (the
+    # platform signal is `_exec_platform`: the executing devices', not the
+    # process default backend).
+    backend_ok = _exec_platform(config) != "cpu"
     return (
         b > 1
         and config.kernel_size == 3

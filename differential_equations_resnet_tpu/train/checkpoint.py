@@ -109,10 +109,14 @@ class Checkpointer:
         holding it — no host-side gather of the full state.  This is the
         scale path: a TP/DP-sharded TrainState larger than host memory
         checkpoints shard-wise, and on a multi-host mesh every process
-        writes only its addressable shards (call `save` on all processes
-        with a shared filesystem `base_dir`).  The default (False) gathers
-        to NumPy first — right for single-host runs and for pickle
-        portability."""
+        writes only its addressable shards (call `save` on ALL processes
+        with a shared filesystem `base_dir` — with multiple processes this
+        path is a collective and ends in a cross-process barrier).  The
+        default (False) gathers to NumPy first — right for single-host
+        runs and for pickle portability; on a multi-host mesh it is a
+        single-writer save: call it from process 0 only (it takes no
+        barrier, so the usual `if jax.process_index() == 0:` guard is
+        safe)."""
         ckpt_name = self.checkpoint_name(step, name, tags, metrics)
         path = self._path(ckpt_name)
         if self.backend == "orbax":
@@ -150,14 +154,20 @@ class Checkpointer:
             with open(path + ".meta.json", "w") as f:
                 json.dump(meta, f)
             self._garbage_collect()
-        # Multi-host: `save` is a COLLECTIVE — no process returns until the
-        # sidecar exists and garbage collection finished, so a caller that
-        # immediately `restore`s / `read_meta`s / `latest`s on any process
-        # never observes a half-published checkpoint (missing .meta.json
-        # would silently skip the treedef structure-drift guard) and never
-        # picks a stale directory that process 0 is mid-rmtree.  Callers do
-        # NOT need their own barrier around save().
-        if jax.process_count() > 1:
+        # Multi-host preserve_shardings: `save` is a COLLECTIVE (every
+        # process writes its addressable shards, so every process is in
+        # here) — no process returns until the sidecar exists and garbage
+        # collection finished, so a caller that immediately `restore`s /
+        # `read_meta`s / `latest`s on any process never observes a
+        # half-published checkpoint (missing .meta.json would silently
+        # skip the treedef structure-drift guard) and never picks a stale
+        # directory that process 0 is mid-rmtree.  Callers do NOT need
+        # their own barrier around save().  The host-gathered default and
+        # the pickle backend are SINGLE-WRITER saves (call from process 0
+        # only) — a barrier there would deadlock the
+        # `if jax.process_index() == 0: save(...)` pattern, since the
+        # other processes never enter it.
+        if preserve_shardings and jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
             multihost_utils.sync_global_devices(

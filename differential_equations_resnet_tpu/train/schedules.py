@@ -56,10 +56,16 @@ def linear_warmup_schedule(
     as eval-accuracy loss (and, with per-c_out weight scales, divergence).
     Warmup enters the high-lr regime with partially-adapted Adam moments.
     No reference counterpart (the reference trains small-batch at 1e-3,
-    `training/training.py:563-597`)."""
-    if warmup_steps < 1:
-        raise ValueError("warmup_steps must be >= 1")
+    `training/training.py:563-597`).
+
+    ``warmup_steps=0`` means "no warmup": returns ``after`` (default: the
+    constant-``peak`` schedule), so CLI-style callers can pass a user flag
+    straight through without branching on the zero case."""
+    if warmup_steps < 0:
+        raise ValueError("warmup_steps must be >= 0")
     after = after or constant_schedule(peak)
+    if warmup_steps == 0:
+        return after
 
     def schedule(step: int) -> float:
         if step < warmup_steps:

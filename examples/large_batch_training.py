@@ -116,14 +116,11 @@ def main() -> int:
             seed=0, data_seed=0,
             accum_steps=args.accum_steps,
         )
-        if args.warmup_steps > 0:
-            from differential_equations_resnet_tpu.train import (
-                linear_warmup_schedule,
-            )
+        from differential_equations_resnet_tpu.train import (
+            linear_warmup_schedule,
+        )
 
-            lr_schedule = linear_warmup_schedule(lr, args.warmup_steps)
-        else:
-            lr_schedule = lambda step, lr=lr: lr  # noqa: E731
+        lr_schedule = linear_warmup_schedule(lr, args.warmup_steps)
         steps_per_epoch = len(train_x) // batch
         t0 = time.time()
         history = trainer.train(

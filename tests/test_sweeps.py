@@ -75,3 +75,13 @@ def test_width_depth_sweep_remat_derived_from_capacity(monkeypatch):
     assert seen[(128, 160)] is False
     width_depth_sweep(widths=(16,), depths=(2,), batch_size=16, remat=True)
     assert seen[(16, 2)] is True
+
+    # The capacity is BYTES, not elements: the 5e9-element boundary was
+    # measured in bf16 (2 B activation + 1 B mask = 3 B/element).  fp32
+    # saves 5 B/element, so the same 128Lx128F b256 cell (4.29e9 elements,
+    # 21.5 GB fp32 vs 12.9 GB bf16) must auto-remat in fp32 — the CLI sweep
+    # default without --bf16 — while 64Lx128F fp32 (10.7 GB) must not.
+    width_depth_sweep(widths=(128,), depths=(64, 128), batch_size=256,
+                      compute_dtype=jnp.float32)
+    assert seen[(128, 128)] is True
+    assert seen[(128, 64)] is False

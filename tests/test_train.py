@@ -86,10 +86,14 @@ def test_schedules():
         1.0, 2, after=piecewise_constant_schedule([5], [1.0, 0.1])
     )
     assert wd(0) == 0.5 and wd(1) == 1.0 and wd(6) == 1.0 and wd(7) == 0.1
+    # warmup_steps=0 = "no warmup": the after-schedule verbatim, so CLI
+    # callers can pass a user flag straight through without branching.
+    w0 = linear_warmup_schedule(0.8, 0)
+    assert w0(0) == 0.8 and w0(100) == 0.8
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        linear_warmup_schedule(1.0, 0)
+        linear_warmup_schedule(1.0, -1)
 
 
 def test_smoke_training_reduces_loss(tmp_path):
