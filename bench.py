@@ -38,6 +38,10 @@ the documented practical single-chip floor (docs/RESULTS.md roofline:
   - `int8_train`: the mfu_peak config trained with int8-forward convs
     (STE backward — docs/RESULTS.md section 6f; measured 1.12x over the
     bf16 step, 146.9 model TFLOPS, round 4);
+  - `int8_train_dgrad`: the same config with the backward's data-gradient
+    conv ALSO in w8a8 against the transposed int8 kernel (section 6g;
+    measured 1.26x over bf16 — 163.9 model TFLOPS, 83% of the bf16 peak,
+    round 4 — the single-chip training-throughput frontier);
   - `int8_serving`: the dynamic-w8a8 quantized inference pair at 64Lx128F
     b=256 (docs/RESULTS.md section 2c; measured 1.68x over bf16, round 4).
 
@@ -242,6 +246,22 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - backend-dependent
         int8_train = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # int8 dgrad (docs/RESULTS.md section 6g): the backward's data-gradient
+    # conv also runs w8a8, against the transposed int8 kernel (for the
+    # antisymmetric trunk exactly -kernel_q) — measured 1.26x over the bf16
+    # step (5.52 steps/s, 163.9 model TFLOPS = 83% of the bf16 peak,
+    # round 4), the single-chip training-throughput frontier.
+    try:
+        int8_train_dgrad = utilization_section(
+            128, 128, 256, 12, seed0=300, label_suffix="_int8fwd_dgrad",
+            int8_forward=True, int8_backward="dgrad",
+        )
+        int8_train_dgrad["speedup_vs_bf16"] = round(
+            int8_train_dgrad["steps_per_sec"] / mfu_peak["steps_per_sec"], 3
+        )
+    except Exception as e:  # pragma: no cover - backend-dependent
+        int8_train_dgrad = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # int8 dynamic-w8a8 serving (docs/RESULTS.md section 2c): the 64Lx128F
     # b=256 inference pair — bf16 apply vs the quantized forward (measured
     # 1.68x, round 4) — so regressions in the int8 path are visible in the
@@ -325,6 +345,7 @@ def main() -> None:
                 "wide_trunk": wide_trunk,
                 "mfu_peak": mfu_peak,
                 "int8_train": int8_train,
+                "int8_train_dgrad": int8_train_dgrad,
                 "int8_serving": int8_serving,
             }
         )

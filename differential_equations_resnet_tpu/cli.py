@@ -65,6 +65,13 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help="dynamic-w8a8 int8 FORWARD convs in the trunk, "
                         "straight-through-estimator backward (single-block "
                         "family only; wins at C>=128 — docs/RESULTS.md 6f)")
+    p.add_argument("--int8-backward", choices=["ste", "dgrad", "full"],
+                   default="ste",
+                   help="with --int8-forward: run the backward's data-"
+                        "gradient conv ('dgrad') or both backward convs "
+                        "('full', int8 saved activations — ~1.5x deeper "
+                        "no-remat capacity) in w8a8 too; 'ste' = fp "
+                        "backward (docs/RESULTS.md 6f)")
 
 
 def _build_model(args):
@@ -107,6 +114,7 @@ def _build_model(args):
         s2d_block=getattr(args, "s2d_block", 2),
         compute_dtype=compute_dtype,
         int8_forward=getattr(args, "int8_forward", False),
+        int8_backward=getattr(args, "int8_backward", "ste"),
     )
     return build_single_block_resnet(config)
 

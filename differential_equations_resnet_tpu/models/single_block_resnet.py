@@ -118,7 +118,8 @@ class SingleBlockResNetConfig:
                                 # sharded over (dp x pp composition).
     int8_forward: bool = False  # run the trunk's FORWARD convs dynamic-w8a8
                                 # int8 on the MXU (ops/quantize.py), backward
-                                # unchanged (straight-through estimator).
+                                # per int8_backward below (default:
+                                # straight-through estimator, fp backward).
                                 # Explicit opt-in: measured win only at
                                 # lane-filling widths (C >= 128, the same
                                 # regime as quantized serving — docs/
@@ -126,6 +127,17 @@ class SingleBlockResNetConfig:
                                 # pay the quantize overhead for nothing.
                                 # Takes precedence over the s2d packed
                                 # layout (s2d targets small C, int8 wide C).
+    int8_backward: str = "ste"  # with int8_forward: how much of the BACKWARD
+                                # also runs w8a8 on the MXU.  'ste' = fp
+                                # backward (the measured 6f rows); 'dgrad' =
+                                # int8 data-gradient conv against the
+                                # transposed int8 kernel (for antisymmetric
+                                # kernels exactly -kernel_q), fp weight
+                                # gradient; 'full' = int8 data+weight
+                                # gradients, saving the forward's int8
+                                # activations as the scan residual
+                                # (1 B/element — ~1.5x deeper no-remat
+                                # capacity than bf16).  ops/quantize.py.
     tp_mesh: Any = None         # Mesh: channel-shard the conv trunk over
     tp_axis: str = "model"      # tp_axis (SURVEY.md section 2.3 row 3).
                                 # Packed antisymmetric params stay replicated
@@ -178,6 +190,16 @@ class SingleBlockResNetConfig:
             raise ValueError(
                 "int8_forward requires the plain integrator identity stack: "
                 "use_batch_norm=False, use_pallas=False, pp_mesh=None."
+            )
+        if self.int8_backward not in ("ste", "dgrad", "full"):
+            raise ValueError(
+                f"int8_backward must be 'ste', 'dgrad', or 'full', got "
+                f"{self.int8_backward!r}."
+            )
+        if self.int8_backward != "ste" and not self.int8_forward:
+            raise ValueError(
+                "int8_backward='dgrad'/'full' requires int8_forward=True "
+                "(the backward quantizes against the forward's int8 kernel)."
             )
         if self.kernel_type == "antisymmetric" and self.kernel_size != 3:
             raise ValueError(
@@ -498,11 +520,15 @@ def _apply_identity_blocks(x, sp, ss, config, train):
                 return _apply_identity_blocks_s2d(x, dense, config), {}
             step_fn = euler_relu_step
             if config.int8_forward:
+                import functools as _functools
+
                 from differential_equations_resnet_tpu.ops.quantize import (
                     euler_relu_step_int8,
                 )
 
-                step_fn = euler_relu_step_int8
+                step_fn = _functools.partial(
+                    euler_relu_step_int8, backward=config.int8_backward
+                )
             # Euler fast path: custom-VJP step saving a bool relu mask
             # instead of the fp32 pre-activation (euler_relu_step docstring).
             def body(y, p):
@@ -632,8 +658,14 @@ def _apply_identity_blocks_multieval(x, dense: ConvParams, config):
     from differential_equations_resnet_tpu.ops.integrators import get_integrator
 
     if config.int8_forward:
+        import functools as _functools
+
         from differential_equations_resnet_tpu.ops.quantize import (
-            conv_relu_field_int8 as conv_relu_field,  # noqa: F811
+            conv_relu_field_int8,
+        )
+
+        conv_relu_field = _functools.partial(  # noqa: F811
+            conv_relu_field_int8, backward=config.int8_backward
         )
 
     packed = (not config.int8_forward) and _s2d_eligible(config, x)

@@ -107,17 +107,15 @@ def quantize_activations_per_tensor(y: jax.Array) -> Tuple[jax.Array, jax.Array]
     return yq, scale
 
 
-def dynamic_int8_conv_same(
+def _dynamic_int8_conv_parts(
     y: jax.Array,
     qp: QuantizedConvParams,
     strides: Tuple[int, int] = (1, 1),
-) -> jax.Array:
-    """SAME 3x3/kxk conv in dynamic w8a8: quantize ``y`` per tensor, run the
-    conv int8 x int8 -> int32 on the MXU, rescale by (activation scale x
-    per-c_out weight scale), add the fp32 bias, return in ``y.dtype``.
-
-    ``qp`` must be unstacked (kernel_q (kh, kw, c_in, c_out), scale (c_out,))
-    — inside a depth scan the stacked params arrive pre-sliced."""
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(z, y_q, s_y): the dynamic-w8a8 conv output plus the quantized
+    activations it consumed — the int8 training backward reuses (y_q, s_y)
+    as its saved residual (1 B/element instead of the 2-4 B fp
+    activation)."""
     yq, s_y = quantize_activations_per_tensor(y)
     zi = jax.lax.conv_general_dilated(
         yq,
@@ -130,7 +128,70 @@ def dynamic_int8_conv_same(
     z = zi.astype(jnp.float32) * (s_y * qp.scale)
     if qp.bias is not None:
         z = z + qp.bias
-    return z.astype(y.dtype)
+    return z.astype(y.dtype), yq, s_y
+
+
+def dynamic_int8_conv_same(
+    y: jax.Array,
+    qp: QuantizedConvParams,
+    strides: Tuple[int, int] = (1, 1),
+) -> jax.Array:
+    """SAME 3x3/kxk conv in dynamic w8a8: quantize ``y`` per tensor, run the
+    conv int8 x int8 -> int32 on the MXU, rescale by (activation scale x
+    per-c_out weight scale), add the fp32 bias, return in ``y.dtype``.
+
+    ``qp`` must be unstacked (kernel_q (kh, kw, c_in, c_out), scale (c_out,))
+    — inside a depth scan the stacked params arrive pre-sliced."""
+    return _dynamic_int8_conv_parts(y, qp, strides)[0]
+
+
+def transpose_int8_kernel(kernel_q: jax.Array) -> jax.Array:
+    """The kernel of the ADJOINT conv: rot180 in (kh, kw) + (c_in, c_out)
+    swap — ``linear_transpose(conv2d_same(., K))`` equals
+    ``conv2d_same(., transpose(K))`` for stride-1 SAME odd-sized kernels.
+    A pure int8 relayout (exact, no arithmetic), so the backward data-
+    gradient conv runs w8a8 on the MXU with zero extra quantization error.
+
+    For an antisymmetric kernel quantized with ONE per-tensor scale this
+    is exactly ``-kernel_q`` (the skew pairing survives integer rounding —
+    quantize_kernel_per_tensor's docstring), i.e. the backward integrates
+    the SAME stable operator backwards; the relayout form is used so
+    'regular'/'centrosymmetric' trunks get a correct adjoint too."""
+    return kernel_q[..., ::-1, ::-1, :, :].swapaxes(-1, -2)
+
+
+def _int8_dgrad(g_z, kernel_q, k_scale, out_dtype):
+    """Data-gradient conv in w8a8: quantize the masked cotangent per
+    tensor, conv against the transposed int8 kernel, rescale.  Returns
+    (dy_conv, g_q, s_g) so the weight gradient can reuse the quantized
+    cotangent (one quantization feeds both backward convs)."""
+    g_q, s_g = quantize_activations_per_tensor(g_z)
+    di = jax.lax.conv_general_dilated(
+        g_q,
+        transpose_int8_kernel(kernel_q),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (di.astype(jnp.float32) * (s_g * k_scale)).astype(out_dtype), g_q, s_g
+
+
+def _int8_wgrad(y_q, g_q):
+    """Weight-gradient correlation in int8 x int8 -> int32:
+    ``dk[h, w, i, o] = sum_{n,r,c} y_pad[n, r+h-1, c+w-1, i] * g[n, r, c, o]``
+    for the 3x3 SAME stride-1 conv — expressed as a conv whose batch axis
+    is the contraction (lhs spec CHWN: images' N is the reduced feature,
+    c_in is the conv batch; rhs spec IHWO: the cotangent's N contracts,
+    c_out is the output feature; out spec HWNC = HWIO)."""
+    return jax.lax.conv_general_dilated(
+        y_q,
+        g_q,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("CHWN", "IHWO", "HWNC"),
+        preferred_element_type=jnp.int32,
+    )
 
 
 # --- int8-forward TRAINING steps (straight-through estimator) -------------
@@ -156,52 +217,152 @@ def dynamic_int8_conv_same(
 # quantize_kernel_per_tensor's docstring and docs/RESULTS.md section 6f.
 
 
+_BACKWARD_MODES = ("ste", "dgrad", "full")
+
+
+def _check_int8_args(name, bias, weight_scale, backward):
+    if bias is None:
+        raise ValueError(
+            f"{name} requires an array bias (got None); pass "
+            "jnp.zeros(channels) for a bias-free step."
+        )
+    if backward not in _BACKWARD_MODES:
+        raise ValueError(
+            f"backward must be one of {_BACKWARD_MODES}, got {backward!r}."
+        )
+    if backward != "ste" and weight_scale != "per_tensor":
+        # The int8 dgrad's rescale factors (s_g * s_K) out of the int32
+        # accumulator, which needs ONE kernel scale: per-c_out scales sit
+        # on the CONTRACTING dim of the transposed conv and cannot factor.
+        raise ValueError(
+            "int8 backward modes require weight_scale='per_tensor' (the "
+            "transposed conv's rescale needs a single kernel scale; "
+            "per-c_out scales are on its contracting dimension)."
+        )
+
+
 def euler_relu_step_int8(
     y: jax.Array,
     kernel: jax.Array,
     bias: jax.Array,
     h: float,
     weight_scale: str = "per_tensor",
+    backward: str = "ste",
 ):
     """One forward-Euler step ``y + h * relu(int8conv(y, K) + b)`` with the
-    dynamic-w8a8 forward conv and the STE (bf16/fp32) backward of
-    :func:`differential_equations_resnet_tpu.ops.conv.euler_relu_step`.
+    dynamic-w8a8 forward conv.
+
+    ``backward`` selects how much of the BACKWARD also runs w8a8 on the MXU
+    (quantization always differentiated as the identity — STE):
+      - 'ste' (default): the unchanged bf16/fp32 bool-mask backward of
+        :func:`differential_equations_resnet_tpu.ops.conv.euler_relu_step`.
+      - 'dgrad': the data-gradient conv runs int8 against the TRANSPOSED
+        int8 kernel (an exact relayout; for antisymmetric kernels it is
+        literally ``-kernel_q``), with the masked cotangent quantized per
+        tensor; the weight gradient stays fp.  The residual-connection
+        term of dy stays EXACT (``dy = g + h * conv_T(...)``) — the
+        quantization noise enters only the h-scaled correction, mirroring
+        the forward's noise structure.
+      - 'full': 'dgrad' plus the weight-gradient correlation in int8,
+        reusing the forward's quantized activations (y_q, saved as the
+        residual: 1 B/element instead of the 2-4 B fp activation — the
+        no-remat depth capacity grows ~1.5x over bf16) and the dgrad's
+        quantized cotangent (one quantization feeds both convs).  dk is
+        the exact STE gradient of what the forward computed: the forward
+        consumed y_q * s_y, and dk correlates exactly that.
 
     ``weight_scale``: 'per_tensor' (default — preserves the antisymmetric
     structure exactly; the stable choice in the training loop) or
     'per_cout' (serving's scheme; measured divergent at depth — section
-    6f).  ``bias`` must be an array (see euler_relu_step's note); pass
-    ``jnp.zeros(C)`` for a bias-free step."""
-    if bias is None:
-        raise ValueError(
-            "euler_relu_step_int8 requires an array bias (got None); pass "
-            "jnp.zeros(channels) for a bias-free step."
-        )
-    return _euler_relu_step_int8(y, kernel, bias, h, weight_scale)
+    6f; incompatible with int8 backward modes).  ``bias`` must be an array
+    (see euler_relu_step's note); pass ``jnp.zeros(C)`` for a bias-free
+    step."""
+    _check_int8_args("euler_relu_step_int8", bias, weight_scale, backward)
+    return _euler_relu_step_int8(y, kernel, bias, h, weight_scale, backward)
+
+
+def _quantize_kernel(kernel, bias, weight_scale):
+    if weight_scale == "per_tensor":
+        return quantize_kernel_per_tensor(kernel, bias)
+    elif weight_scale == "per_cout":
+        return quantize_kernel_per_cout(kernel, bias)
+    raise ValueError(
+        f"weight_scale must be 'per_tensor' or 'per_cout', got "
+        f"{weight_scale!r}."
+    )
+
+
+def _int8_preactivation_parts(y, kernel, bias, weight_scale):
+    qp = _quantize_kernel(kernel, bias, weight_scale)
+    z, yq, s_y = _dynamic_int8_conv_parts(y, qp)
+    return z, yq, s_y, qp
 
 
 def _int8_preactivation(y, kernel, bias, weight_scale):
-    if weight_scale == "per_tensor":
-        qp = quantize_kernel_per_tensor(kernel, bias)
-    elif weight_scale == "per_cout":
-        qp = quantize_kernel_per_cout(kernel, bias)
-    else:
-        raise ValueError(
-            f"weight_scale must be 'per_tensor' or 'per_cout', got "
-            f"{weight_scale!r}."
-        )
-    return dynamic_int8_conv_same(y, qp)
+    return _int8_preactivation_parts(y, kernel, bias, weight_scale)[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _euler_relu_step_int8(y, kernel, bias, h, weight_scale):
+def _int8_residuals(backward, y, kernel, z, yq, s_y, qp):
+    """Mode-dependent saved residuals (static per trace: ``backward`` is a
+    nondiff argument).  'full' saves the int8 activations instead of the
+    fp ones — that is where the depth-capacity win comes from."""
+    mask = z > 0
+    if backward == "ste":
+        return (y, kernel, mask)
+    k_scale = qp.scale[..., 0]  # per_tensor: one scale, broadcast to c_out
+    if backward == "dgrad":
+        return (y, kernel, qp.kernel_q, k_scale, mask)
+    # 'full': no fp activation saved; a 0-d token carries the kernel dtype
+    # so dk can be returned in the primal's dtype.
+    return (yq, s_y, qp.kernel_q, k_scale, mask,
+            jnp.zeros((), kernel.dtype))
+
+
+def _int8_linear_bwd(backward, res, g_z, g_dtype):
+    """(dy_conv, dk, db) shared by the euler step and the field eval —
+    everything downstream of the mode-independent ``g_z = mask * (h*) g``."""
+    from differential_equations_resnet_tpu.ops.conv import conv2d_same
+
+    db = jnp.sum(g_z, axis=(0, 1, 2))
+    if backward == "dgrad":
+        y, kernel, kq, k_scale, _ = res
+        dy_conv, _, _ = _int8_dgrad(g_z, kq, k_scale, g_dtype)
+        (dk,) = jax.linear_transpose(
+            lambda kk: conv2d_same(y, kk), kernel
+        )(g_z)
+        return dy_conv, dk, db
+    yq, s_y, kq, k_scale, _, ktok = res
+    dy_conv, g_q, s_g = _int8_dgrad(g_z, kq, k_scale, g_dtype)
+    dk = (_int8_wgrad(yq, g_q).astype(jnp.float32) * (s_y * s_g)).astype(
+        ktok.dtype
+    )
+    return dy_conv, dk, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _euler_relu_step_int8(y, kernel, bias, h, weight_scale, backward):
     z = _int8_preactivation(y, kernel, bias, weight_scale)
     return y + h * jax.nn.relu(z)
 
 
-def _euler_relu_int8_fwd(y, kernel, bias, h, weight_scale):
-    z = _int8_preactivation(y, kernel, bias, weight_scale)
-    return y + h * jax.nn.relu(z), (y, kernel, z > 0)
+def _euler_relu_int8_fwd(y, kernel, bias, h, weight_scale, backward):
+    z, yq, s_y, qp = _int8_preactivation_parts(y, kernel, bias, weight_scale)
+    out = y + h * jax.nn.relu(z)
+    return out, _int8_residuals(backward, y, kernel, z, yq, s_y, qp)
+
+
+def _euler_relu_int8_bwd(h, weight_scale, backward, res, g):
+    if backward == "ste":
+        from differential_equations_resnet_tpu.ops import conv as _conv
+
+        return _conv._euler_relu_bwd(h, res, g)
+    mask = res[4]
+    g_z = jnp.where(mask, h * g, 0.0).astype(g.dtype)
+    dy_conv, dk, db = _int8_linear_bwd(backward, res, g_z, g.dtype)
+    return g + dy_conv, dk, db
+
+
+_euler_relu_step_int8.defvjp(_euler_relu_int8_fwd, _euler_relu_int8_bwd)
 
 
 def conv_relu_field_int8(
@@ -209,46 +370,38 @@ def conv_relu_field_int8(
     kernel: jax.Array,
     bias: jax.Array,
     weight_scale: str = "per_tensor",
+    backward: str = "ste",
 ):
     """One ODE field evaluation ``relu(int8conv(y, K) + b)`` — the int8-
     forward analogue of
     :func:`differential_equations_resnet_tpu.ops.conv.conv_relu_field`, for
-    the multi-eval integrators (midpoint/rk4).  STE backward, bool-mask
-    residual, per-tensor weight scales by default (see euler_relu_step_int8)."""
-    if bias is None:
-        raise ValueError(
-            "conv_relu_field_int8 requires an array bias (got None); pass "
-            "jnp.zeros(channels) for a bias-free field."
-        )
-    return _conv_relu_field_int8(y, kernel, bias, weight_scale)
+    the multi-eval integrators (midpoint/rk4).  Bool-mask residual,
+    per-tensor weight scales by default; ``backward`` as in
+    :func:`euler_relu_step_int8` ('ste' fp backward / 'dgrad' int8 data
+    gradient / 'full' int8 data+weight gradients with int8 residuals)."""
+    _check_int8_args("conv_relu_field_int8", bias, weight_scale, backward)
+    return _conv_relu_field_int8(y, kernel, bias, weight_scale, backward)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _conv_relu_field_int8(y, kernel, bias, weight_scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv_relu_field_int8(y, kernel, bias, weight_scale, backward):
     return jax.nn.relu(_int8_preactivation(y, kernel, bias, weight_scale))
 
 
-def _conv_relu_field_int8_fwd(y, kernel, bias, weight_scale):
-    z = _int8_preactivation(y, kernel, bias, weight_scale)
-    return jax.nn.relu(z), (y, kernel, z > 0)
+def _conv_relu_field_int8_fwd(y, kernel, bias, weight_scale, backward):
+    z, yq, s_y, qp = _int8_preactivation_parts(y, kernel, bias, weight_scale)
+    return jax.nn.relu(z), _int8_residuals(backward, y, kernel, z, yq, s_y, qp)
 
 
-def _defvjps():
-    # Deferred import: ops.conv is a sibling leaf module (no cycle in
-    # practice), but keeping the import local makes the dependency
-    # direction explicit — quantize borrows conv's backward functions
-    # (quantization is differentiated as the identity, so the STE backward
-    # IS the fp backward; the extra leading nondiff args are dropped).
-    from differential_equations_resnet_tpu.ops import conv as _conv
+def _conv_relu_field_int8_bwd(weight_scale, backward, res, g):
+    if backward == "ste":
+        from differential_equations_resnet_tpu.ops import conv as _conv
 
-    _euler_relu_step_int8.defvjp(
-        _euler_relu_int8_fwd,
-        lambda h, weight_scale, res, g: _conv._euler_relu_bwd(h, res, g),
-    )
-    _conv_relu_field_int8.defvjp(
-        _conv_relu_field_int8_fwd,
-        lambda weight_scale, res, g: _conv._conv_relu_field_bwd(res, g),
-    )
+        return _conv._conv_relu_field_bwd(res, g)
+    mask = res[4]
+    g_z = jnp.where(mask, g, 0.0).astype(g.dtype)
+    dy_conv, dk, db = _int8_linear_bwd(backward, res, g_z, g.dtype)
+    return dy_conv, dk, db
 
 
-_defvjps()
+_conv_relu_field_int8.defvjp(_conv_relu_field_int8_fwd, _conv_relu_field_int8_bwd)

@@ -54,6 +54,12 @@ def main() -> int:
                              "convergence A/B for docs/RESULTS.md 6f; pair "
                              "with --num-filters 128 where the speedup "
                              "exists")
+    parser.add_argument("--int8-backward", choices=["ste", "dgrad", "full"],
+                        default="ste",
+                        help="backward mode for the --compare-int8 arms: "
+                             "'dgrad' runs the data-gradient conv in w8a8 "
+                             "too, 'full' both backward convs (int8 saved "
+                             "activations) — docs/RESULTS.md 6g")
     args = parser.parse_args()
 
     from differential_equations_resnet_tpu.utils.compile_cache import (
@@ -105,6 +111,7 @@ def main() -> int:
             num_layers=args.num_layers, num_filters=args.num_filters,
             compute_dtype=compute_dtype,
             int8_forward=int8_forward,
+            int8_backward=args.int8_backward if int8_forward else "ste",
         )
         model = build_single_block_resnet(config)
         trainer = Training(
@@ -139,6 +146,7 @@ def main() -> int:
             "accum_steps": args.accum_steps,
             "dtype": jnp.dtype(compute_dtype).name,
             "int8_forward": int8_forward,
+            "int8_backward": args.int8_backward if int8_forward else None,
             "lr": lr,
             "steps": steps,
             "final_train_loss": history["train"][-1]["mean_loss"],

@@ -218,16 +218,20 @@ def test_bottleneck_tiny_forward_all_variants():
     the conv-block/identity-block structure, v1 vs v1.5 striding, and the
     antisymmetric mid-conv — the full ResNet-50/101 presets (same code, more
     blocks) run in the slow stage."""
+    # Two stages suffice for the structural coverage (stage 1 = stride-1
+    # conv block + identity, stage 2 = the strided conv block where v1 and
+    # v1.5 differ); the 4-stage presets run in the slow stage.  Halving the
+    # stages halves this test's six whole-model compile costs (it was the
+    # suite's single slowest test at 4 stages).
     for version, antisym in ((1, False), (1.5, False), (1, True)):
         filters = tuple(
             (f0 // 8, None if antisym else f1 // 8, f2 // 8)
-            for (f0, f1, f2) in ((64, 64, 256), (128, 128, 512),
-                                 (256, 256, 1024), (512, 512, 2048))
+            for (f0, f1, f2) in ((64, 64, 256), (128, 128, 512))
         )
         cfg = BottleneckResNetConfig(
             num_classes=7,
             image_shape=(32, 32, 3),
-            blocks_per_stage=(1, 1, 1, 1),
+            blocks_per_stage=(1, 1),
             filters_per_block=filters,
             version=version,
             kernel_type="antisymmetric" if antisym else "regular",
@@ -283,7 +287,10 @@ def test_fp32_large_batch_cliff_warning():
     def warned(batch, needle, **overrides):
         config = imagenet32_config(num_layers=2, **overrides)
         model = build_single_block_resnet(config)
-        params, state = model.init(jax.random.key(0))
+        # Abstract init too: the advisory fires at TRACE time, so the whole
+        # check runs under eval_shape with zero compiles (this test was a
+        # 22 s suite hot spot when init compiled per config).
+        params, state = jax.eval_shape(model.init, jax.random.key(0))
         with _warnings.catch_warnings(record=True) as rec:
             _warnings.simplefilter("always")
             jax.eval_shape(
@@ -323,7 +330,10 @@ def test_b512_conv_degradation_warning():
     def messages(batch, **overrides):
         config = imagenet32_config(num_layers=2, **overrides)
         model = build_single_block_resnet(config)
-        params, state = model.init(jax.random.key(0))
+        # Abstract init too: the advisory fires at TRACE time, so the whole
+        # check runs under eval_shape with zero compiles (this test was a
+        # 22 s suite hot spot when init compiled per config).
+        params, state = jax.eval_shape(model.init, jax.random.key(0))
         with _warnings.catch_warnings(record=True) as rec:
             _warnings.simplefilter("always")
             jax.eval_shape(

@@ -90,9 +90,15 @@ def test_backward_matches_xla_grads():
         )
 
 
+@pytest.mark.slow
 def test_packed_param_grads_through_materialize():
     """Gradients must fold back onto the packed antisymmetric parameters
-    identically to the XLA path (the mirror fold-back of the scatter VJP)."""
+    identically to the XLA path (the mirror fold-back of the scatter VJP).
+
+    Slow stage: the Pallas kernel is a documented negative result off the
+    production path (docs/RESULTS.md section 6), and this is its single
+    most compile-expensive parity test; the forward/backward parity tests
+    stay in the default stage."""
     x, blocks = make_case(batch=2, height=4, width=4, channels=4, layers=2)
     h, gamma = 0.25, 0.1
 

@@ -456,7 +456,14 @@ def narrow_train_model(**kwargs):
     return build_single_block_resnet(SingleBlockResNetConfig(**defaults))
 
 
-@pytest.mark.parametrize("integrator", ["euler", "midpoint"])
+@pytest.mark.parametrize(
+    "integrator",
+    ["euler",
+     # midpoint re-compiles the whole trunk through the field path; the
+     # op-level field oracles cover its numerics in the default stage, so
+     # the model-level compile rides the slow stage (suite wall-time).
+     pytest.param("midpoint", marks=pytest.mark.slow)],
+)
 def test_int8_forward_model_trains(integrator):
     """Forward+backward through the int8-forward trunk: logits close to the
     fp model on the same params, grads finite and nonzero, and a few SGD
@@ -538,3 +545,178 @@ def test_int8_forward_overrides_s2d():
     )
     outf, _ = fp_model.apply(params, state, x, train=True, return_logits=True)
     assert float(jnp.max(jnp.abs(out8 - outf))) > 0
+
+
+# --- int8 BACKWARD modes ('dgrad' / 'full') --------------------------------
+#
+# Small integer-valued operands make int8 arithmetic exactly representable
+# in fp32 (max |accumulator| << 2^24), so the oracles below — built from
+# jax.linear_transpose of the plain fp conv, NOT from the implementation's
+# transposed-int8-kernel conv or its batch-contracting wgrad dimension
+# numbers — can be compared BIT-EXACTLY.
+
+
+def _int8_bwd_oracle_grads(y, k, b, h, cot, mode):
+    """Expected (dy, dk, db) of the quantized-backward STE step, computed
+    independently: both backward convs as fp linear transposes over the
+    integer-valued quantized operands."""
+    from differential_equations_resnet_tpu.ops.conv import conv2d_same
+    from differential_equations_resnet_tpu.ops.quantize import (
+        quantize_kernel_per_tensor,
+    )
+
+    qp = quantize_kernel_per_tensor(k, b)
+    yq, s_y = quantize_activations_per_tensor(y)
+    kq_f = qp.kernel_q.astype(jnp.float32)
+    z = (conv2d_same(yq.astype(jnp.float32), kq_f) * (s_y * qp.scale) + b
+         ).astype(y.dtype)
+    mask = z > 0
+    g_z = jnp.where(mask, h * cot, 0.0).astype(cot.dtype)
+    g_q, s_g = quantize_activations_per_tensor(g_z)
+    g_qf = g_q.astype(jnp.float32)
+    s_k = qp.scale[0]
+    (dy_c,) = jax.linear_transpose(
+        lambda yy: conv2d_same(yy, kq_f), y.astype(jnp.float32)
+    )(g_qf)
+    dy_conv = (dy_c * (s_g * s_k)).astype(cot.dtype)
+    if mode == "dgrad":
+        (dk,) = jax.linear_transpose(
+            lambda kk: conv2d_same(y, kk), k
+        )(g_z)
+    else:
+        (dk_i,) = jax.linear_transpose(
+            lambda kk: conv2d_same(yq.astype(jnp.float32), kk),
+            k.astype(jnp.float32),
+        )(g_qf)
+        dk = (dk_i * (s_y * s_g)).astype(k.dtype)
+    db = jnp.sum(g_z, axis=(0, 1, 2))
+    # dy_conv (not cot + dy_conv) so the euler and field tests can each
+    # reproduce their step's exact fp addition order bit-for-bit.
+    return dy_conv, dk, db
+
+
+@pytest.mark.parametrize("mode", ["dgrad", "full"])
+def test_int8_backward_matches_independent_oracle(mode):
+    """'dgrad'/'full' gradients are bit-identical to an independent oracle
+    (fp linear transposes over the quantized integer operands) — this pins
+    the transposed-int8-kernel dgrad conv AND the batch-contracting wgrad
+    dimension numbers to the mathematically-defined adjoints."""
+    from differential_equations_resnet_tpu.ops.quantize import (
+        euler_relu_step_int8,
+    )
+
+    y, k, b, cot = _step_operands()
+    h = 0.125
+    # Forward is backward-mode independent.
+    np.testing.assert_array_equal(
+        np.asarray(euler_relu_step_int8(y, k, b, h, "per_tensor", mode)),
+        np.asarray(_ste_oracle_step(y, k, b, h)),
+    )
+    got = jax.grad(
+        lambda *a: jnp.vdot(
+            euler_relu_step_int8(*a, h, "per_tensor", mode), cot
+        ),
+        argnums=(0, 1, 2),
+    )(y, k, b)
+    dy_conv, dk, db = _int8_bwd_oracle_grads(y, k, b, h, cot, mode)
+    want = (cot + dy_conv, dk, db)  # same fp addition as the step's bwd
+    for g_got, g_want in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_want))
+
+
+@pytest.mark.parametrize("mode", ["dgrad", "full"])
+def test_conv_relu_field_int8_backward_matches_oracle(mode):
+    """The multi-eval field variant: same adjoints, h absent (dy has no
+    identity term — the integrator adds it)."""
+    from differential_equations_resnet_tpu.ops.quantize import (
+        conv_relu_field_int8,
+    )
+
+    y, k, b, cot = _step_operands()
+    got = jax.grad(
+        lambda *a: jnp.vdot(
+            conv_relu_field_int8(*a, "per_tensor", mode), cot
+        ),
+        argnums=(0, 1, 2),
+    )(y, k, b)
+    # With h=1 the oracle's g_z equals the field's; the field's dy is the
+    # bare dy_conv (the integrator adds the identity term).
+    want = _int8_bwd_oracle_grads(y, k, b, 1.0, cot, mode)
+    for g_got, g_want in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), rtol=0, atol=0
+        )
+
+
+def test_transpose_int8_kernel_antisym_is_negation():
+    """For a per-tensor-quantized antisymmetric kernel the adjoint conv's
+    kernel is EXACTLY -kernel_q at the integer level — the backward
+    integrates the same stable operator in reverse."""
+    from differential_equations_resnet_tpu.ops.antisymmetric import (
+        init_antisym_3x3,
+        materialize_3x3,
+    )
+    from differential_equations_resnet_tpu.ops.quantize import (
+        quantize_kernel_per_tensor,
+        transpose_int8_kernel,
+    )
+
+    params = init_antisym_3x3(jax.random.key(3), 8)
+    kq = quantize_kernel_per_tensor(materialize_3x3(params, 0.0)).kernel_q
+    np.testing.assert_array_equal(
+        np.asarray(transpose_int8_kernel(kq), np.int32),
+        -np.asarray(kq, np.int32),
+    )
+
+
+def test_int8_backward_validation():
+    from differential_equations_resnet_tpu.ops.quantize import (
+        euler_relu_step_int8,
+    )
+
+    y, k, b, _ = _step_operands()
+    with pytest.raises(ValueError, match="per_tensor"):
+        euler_relu_step_int8(y, k, b, 0.1, "per_cout", "dgrad")
+    with pytest.raises(ValueError, match="backward"):
+        euler_relu_step_int8(y, k, b, 0.1, "per_tensor", "int4")
+    with pytest.raises(ValueError, match="int8_backward"):
+        SingleBlockResNetConfig(
+            image_shape=(6, 6, 3), num_stages=2, blocks_per_stage=(2,),
+            filters_per_block=(8,), strides=((1, 1),), num_classes=4,
+            int8_forward=True, int8_backward="int4",
+        )
+    with pytest.raises(ValueError, match="requires int8_forward"):
+        SingleBlockResNetConfig(
+            image_shape=(6, 6, 3), num_stages=2, blocks_per_stage=(2,),
+            strides=((1, 1),), filters_per_block=(8,), num_classes=4,
+            int8_backward="full",
+        )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["dgrad", "full"])
+def test_int8_backward_model_trains(mode):
+    """Model-level: the int8-backward trunk produces finite, nonzero grads
+    and a few SGD steps reduce the loss (slow stage: fresh scan compiles)."""
+    model = narrow_train_model(int8_backward=mode)
+    params, state = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (8, 6, 6, 3)) * 50 + 127.5
+    labels = np.arange(8) % 4
+
+    def loss_fn(p):
+        logits, _ = model.apply(p, state, x, train=True, return_logits=True)
+        one_hot = jax.nn.one_hot(labels, 4)
+        return -jnp.mean(
+            jnp.sum(one_hot * jax.nn.log_softmax(logits), axis=-1)
+        )
+
+    loss0, grads = jax.value_and_grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+    p = params
+    for _ in range(5):
+        p = jax.tree_util.tree_map(
+            lambda w, gw: w - 0.05 * gw, p, jax.grad(loss_fn)(p)
+        )
+    assert float(loss_fn(p)) < float(loss0)
