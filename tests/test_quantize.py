@@ -215,7 +215,11 @@ def tiny_bottleneck(**kwargs):
 
 @pytest.mark.parametrize("kernel_type,filters", [
     ("regular", None),
-    ("antisymmetric", ((4, None, 8), (8, None, 16))),
+    # The antisymmetric-mid variant re-compiles the whole bottleneck stack;
+    # its quantized path is also covered by the export roundtrip, so the
+    # duplicate whole-model compile rides the slow stage (suite wall-time).
+    pytest.param("antisymmetric", ((4, None, 8), (8, None, 16)),
+                 marks=pytest.mark.slow),
 ])
 def test_quantized_bottleneck_agrees_with_fp32(kernel_type, filters):
     from differential_equations_resnet_tpu.models.quantized import (
