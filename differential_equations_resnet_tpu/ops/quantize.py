@@ -183,7 +183,16 @@ def _int8_wgrad(y_q, g_q):
     for the 3x3 SAME stride-1 conv — expressed as a conv whose batch axis
     is the contraction (lhs spec CHWN: images' N is the reduced feature,
     c_in is the conv batch; rhs spec IHWO: the cotangent's N contracts,
-    c_out is the output feature; out spec HWNC = HWIO)."""
+    c_out is the output feature; out spec HWNC = HWIO).
+
+    Measured A/B at the 128Lx128F b256 MFU peak (round 4, device-resident
+    epoch, interleaved): this conv form and the nine-dot
+    :func:`_int8_wgrad_taps` land at IDENTICAL throughput (5.112 vs 5.112
+    steps/s) — the wgrad shape is operand-traffic-bound either way, so the
+    'full'-vs-'dgrad' gap lives in the int8 wgrad's extra quantized-operand
+    reads, not in the lowering.  The conv form stays as production (one op);
+    the dot form is kept as a bit-exact independent oracle of these
+    dimension numbers."""
     return jax.lax.conv_general_dilated(
         y_q,
         g_q,
@@ -192,6 +201,44 @@ def _int8_wgrad(y_q, g_q):
         dimension_numbers=("CHWN", "IHWO", "HWNC"),
         preferred_element_type=jnp.int32,
     )
+
+
+def _int8_wgrad_taps(y_q, g_q):
+    """The same 3x3 weight-gradient correlation as :func:`_int8_wgrad`,
+    expressed as NINE int8 x int8 -> int32 ``dot_general``s — one per kernel
+    tap, each a plain (C_in, N*H*W) @ (N*H*W, C_out) matmul over the
+    overlap region of the shifted activation and the cotangent (SAME zero
+    padding contributes nothing, so slicing BOTH operands to the overlap is
+    exact and materializes no padded copy).  Bit-identical to the conv form
+    (integer arithmetic) and measured at IDENTICAL throughput at the MFU
+    peak — kept as the independent oracle pinning the conv form's
+    dimension numbers, and as the recorded negative result for the "hand
+    the MXU a plain matmul" hypothesis (docs/RESULTS.md section 6g)."""
+    n, hh, ww, _ = y_q.shape
+    contract = (((0, 1, 2), (0, 1, 2)), ((), ()))
+    rows = []
+    for dh in (-1, 0, 1):
+        cols = []
+        for dw in (-1, 0, 1):
+            ys = y_q[
+                :,
+                max(0, dh) : hh + min(0, dh),
+                max(0, dw) : ww + min(0, dw),
+                :,
+            ]
+            gs = g_q[
+                :,
+                max(0, -dh) : hh + min(0, -dh),
+                max(0, -dw) : ww + min(0, -dw),
+                :,
+            ]
+            cols.append(
+                jax.lax.dot_general(
+                    ys, gs, contract, preferred_element_type=jnp.int32
+                )
+            )
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
 
 
 # --- int8-forward TRAINING steps (straight-through estimator) -------------

@@ -652,6 +652,26 @@ def test_conv_relu_field_int8_backward_matches_oracle(mode):
         )
 
 
+def test_int8_wgrad_taps_matches_conv_form():
+    """The nine-dot tap wgrad is bit-identical to the production batch-
+    contracting conv form (pure integer arithmetic; non-square H != W and
+    values spanning the full int8 range to catch tap/overlap index bugs) —
+    an independent oracle of the conv's CHWN/IHWO/HWNC dimension numbers,
+    and the recorded measured-tie alternative (docs/RESULTS.md 6g)."""
+    from differential_equations_resnet_tpu.ops.quantize import (
+        _int8_wgrad,
+        _int8_wgrad_taps,
+    )
+
+    rng = np.random.default_rng(11)
+    yq = jnp.asarray(rng.integers(-127, 128, (3, 5, 7, 4)), jnp.int8)
+    gq = jnp.asarray(rng.integers(-127, 128, (3, 5, 7, 6)), jnp.int8)
+    got = np.asarray(_int8_wgrad_taps(yq, gq))
+    want = np.asarray(_int8_wgrad(yq, gq))
+    assert got.shape == (3, 3, 4, 6)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_transpose_int8_kernel_antisym_is_negation():
     """For a per-tensor-quantized antisymmetric kernel the adjoint conv's
     kernel is EXACTLY -kernel_q at the integer level — the backward
