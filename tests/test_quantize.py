@@ -749,6 +749,44 @@ def test_int8_training_data_parallel_matches_single_device():
         assert s8.params["stem"].kernel.sharding.is_fully_replicated
 
 
+def test_int8_training_tensor_parallel_matches_replicated():
+    """int8 training also composes with channel (tensor) parallelism: the
+    per-tensor kernel/activation absmaxes are global reductions over the
+    channel-sharded operands, and 'dgrad''s transposed int8 kernel swaps
+    the sharded c_in/c_out dims (a resharding XLA must insert).  One tp
+    step matches the replicated step exactly on this size."""
+    from differential_equations_resnet_tpu.parallel import create_mesh
+    from differential_equations_resnet_tpu.train import (
+        create_train_state,
+        make_adam,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 255, (4, 8, 8, 3)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 5, (4,)))
+    tx = make_adam()
+    mesh = create_mesh((2,), ("model",))
+
+    losses = {}
+    params = {}
+    for name, tp in (("tp", mesh), ("replicated", None)):
+        model = wide_model(
+            int8_forward=True, int8_backward="dgrad", tp_mesh=tp
+        )
+        state = create_train_state(model, jax.random.key(0), tx)
+        s, m, _ = make_train_step(model, tx, donate=False)(
+            state, x, y, 1e-3
+        )
+        losses[name], params[name] = float(m["loss"]), s.params
+
+    assert losses["tp"] == losses["replicated"]
+    for a, b in zip(
+        jax.tree.leaves(params["tp"]), jax.tree.leaves(params["replicated"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_int8_backward_validation():
     from differential_equations_resnet_tpu.ops.quantize import (
         euler_relu_step_int8,
