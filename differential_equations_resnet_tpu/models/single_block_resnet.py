@@ -501,12 +501,44 @@ def _warn_fp32_conv_cliff(config, x):
         )
 
 
+def _warn_int8_full_nan_regime(config, x, n_layers):
+    """Trace-time advisory for the measured near-HBM-capacity defect
+    (docs/RESULTS.md section 6g): int8_backward='full' WITHOUT remat is
+    validated to ~11 GB of saved int8 residuals per device (160Lx128F
+    b256 = 10.7 GB runs clean at 78.7% of the bf16 peak), but 176L/192L
+    no-remat (>= 11.8 GB) produce a finite first-step loss and NaN from
+    step 2 at any lr — while the remat twin of the same config runs fine
+    and bit-matches 'dgrad'-remat to ~4 digits, exonerating the gradient
+    math and pointing at an XLA lowering/runtime defect near HBM capacity.
+    Advisory only; the fix is `remat=True` (numerically verified)."""
+    if _exec_platform(config) != "tpu" or config.remat:
+        return
+    if not (config.int8_forward and config.int8_backward == "full"):
+        return
+    # 'full' saves (int8 y + bool mask) = 2 B per activation element.
+    n, hh, ww, c = x.shape
+    resid_bytes = 2 * n_layers * _per_device(n, config) * hh * ww * c
+    if resid_bytes > 11.2e9:
+        warnings.warn(
+            f"int8_backward='full' without remat at ~"
+            f"{resid_bytes / 1e9:.1f} GB of saved residuals per device is "
+            "past the measured-clean boundary (~11 GB; docs/RESULTS.md "
+            "section 6g): 176L+/128F/b256 shapes produced NaN from step 2 "
+            "in this regime while their remat twins run correctly.  Pass "
+            "remat=True (CLI --remat) or reduce depth/batch.",
+            stacklevel=2,
+        )
+
+
 def _apply_identity_blocks(x, sp, ss, config, train):
     """Run a stage's stack of identity blocks as one scan."""
     blocks = sp["blocks"]
     if blocks is None:
         return x, {}
     _warn_fp32_conv_cliff(config, x)
+    _warn_int8_full_nan_regime(
+        config, x, jax.tree.leaves(sp["blocks"])[0].shape[0]
+    )
     if not config.use_batch_norm:
         if config.use_pallas and _pallas_eligible(config, x, blocks):
             from differential_equations_resnet_tpu.ops.pallas import fused_euler_3x3

@@ -365,6 +365,44 @@ def test_b512_conv_degradation_warning():
     assert sum("conv lowering" in m or "conv-lowering" in m for m in msgs) == 1
 
 
+def test_int8_full_nan_regime_warning():
+    """The int8-'full' no-remat near-HBM advisory (docs/RESULTS.md section
+    6g: >~11 GB of saved int8 residuals per device measured as NaN-from-
+    step-2) fires at 176Lx128F b256 and NOT at the validated 160L boundary,
+    under remat, on CPU, or for 'dgrad' (fp residuals, different capacity)."""
+    import warnings as _warnings
+
+    from differential_equations_resnet_tpu.experiments import imagenet32_config
+
+    def fired(num_layers, **overrides):
+        config = imagenet32_config(
+            num_layers=num_layers, num_filters=128,
+            compute_dtype=jnp.bfloat16, **overrides,
+        )
+        model = build_single_block_resnet(config)
+        params, state = jax.eval_shape(model.init, jax.random.key(0))
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter("always")
+            jax.eval_shape(
+                lambda p, s, x: model.apply(p, s, x, return_logits=True),
+                params, state, jnp.zeros((256, 32, 32, 3), jnp.float32),
+            )
+        return any("measured-clean boundary" in str(w.message) for w in rec)
+
+    full_tpu = dict(
+        int8_forward=True, int8_backward="full", device_platform="tpu"
+    )
+    assert fired(176, **full_tpu)
+    assert not fired(160, **full_tpu)  # validated clean at 10.7 GB
+    assert not fired(176, remat=True, **full_tpu)  # the documented fix
+    assert not fired(176, int8_forward=True, int8_backward="dgrad",
+                     device_platform="tpu")
+    assert not fired(176, int8_forward=True, int8_backward="full")  # CPU
+    # DP: 176L at global b=2048 over 8 devices = 256/device -> fires.
+    assert fired(176, data_axis_size=8, **full_tpu) is False  # 32/device
+    assert fired(176, **full_tpu)
+
+
 def test_conv_relu_field_custom_vjp_matches_autodiff():
     """The bool-mask custom VJP of the ODE field relu(conv(y,K)+b) — the
     per-stage evaluation of the midpoint/rk4 fast path — must be
