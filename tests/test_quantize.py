@@ -310,10 +310,10 @@ def _ste_oracle_step(y, k, b, h, quantizer=None):
     return y + h * jax.nn.relu(z)
 
 
-def _step_operands(c=8, batch=2, hw=6):
+def _step_operands(c=8, batch=2, hw=6, ksize=3):
     k0 = jax.random.key(7)
     y = jax.random.normal(jax.random.fold_in(k0, 1), (batch, hw, hw, c))
-    k = jax.random.normal(jax.random.fold_in(k0, 2), (3, 3, c, c)) * 0.3
+    k = jax.random.normal(jax.random.fold_in(k0, 2), (ksize, ksize, c, c)) * 0.3
     b = jax.random.normal(jax.random.fold_in(k0, 3), (c,)) * 0.1
     cot = jax.random.normal(jax.random.fold_in(k0, 4), y.shape)
     return y, k, b, cot
@@ -525,6 +525,57 @@ def test_int8_forward_config_validation():
         )
 
 
+def test_int8_full_5x5_centrosymmetric_model_grads():
+    """The exact config surface of the round-4 VERDICT weak #1 probe:
+    kernel_type='centrosymmetric', kernel_size=5, int8_backward='full'.
+    The trunk's kernel gradient must come back (5, 5, ...)-shaped and match
+    the fp-conv linear-transpose direction closely (STE noise only) — before
+    the k x k wgrad fix it silently came back (3, 3, ...)-shaped."""
+    import dataclasses
+
+    model = narrow_train_model(
+        kernel_type="centrosymmetric", kernel_size=5,
+        int8_backward="full",
+    )
+    params, state = model.init(jax.random.key(0))
+    # The trunk is packed (AntisymKxKParams); the int8 step consumes the
+    # materialized (5, 5, C, C) dense kernel, whose cotangent folds back
+    # through the scatter's VJP — so a 3x3-shaped dk cannot silently pass.
+    assert params["stages"][0]["blocks"].cross.shape[-3:-1] == (5, 5)
+    x = jax.random.normal(jax.random.key(1), (4, 6, 6, 3)) * 50 + 127.5
+    labels = np.arange(4) % 4
+
+    def loss_fn(p, m):
+        logits, _ = m.apply(p, state, x, train=True, return_logits=True)
+        one_hot = jax.nn.one_hot(labels, 4)
+        return -jnp.mean(
+            jnp.sum(one_hot * jax.nn.log_softmax(logits), axis=-1)
+        )
+
+    grads = jax.grad(lambda p: loss_fn(p, model))(params)
+    gb = grads["stages"][0]["blocks"]
+    assert gb.cross.shape == params["stages"][0]["blocks"].cross.shape
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert float(jnp.max(jnp.abs(gb.cross))) > 0
+    assert float(jnp.max(jnp.abs(gb.diag))) > 0
+    # Direction check against the STE (fp backward) gradient on the same
+    # params: the int8 'full' wgrad is the STE gradient of the quantized
+    # operands, so cosine similarity must be high (it is NOT bit-equal).
+    ste_model = build_single_block_resnet(
+        dataclasses.replace(model.config, int8_backward="ste")
+    )
+    gb_ste = jax.grad(lambda p: loss_fn(p, ste_model))(params)["stages"][0][
+        "blocks"
+    ]
+    flat = lambda t: jnp.concatenate(
+        [jnp.ravel(l) for l in jax.tree_util.tree_leaves(t)]
+    )
+    v, w = flat(gb), flat(gb_ste)
+    cos = float(jnp.vdot(v, w) / (jnp.linalg.norm(v) * jnp.linalg.norm(w)))
+    assert cos > 0.98, cos
+
+
 def test_int8_forward_overrides_s2d():
     """int8_forward takes the direct layout even where the s2d gate would
     pack (the two optimizations target opposite width regimes)."""
@@ -599,17 +650,21 @@ def _int8_bwd_oracle_grads(y, k, b, h, cot, mode):
     return dy_conv, dk, db
 
 
+@pytest.mark.parametrize("ksize", [3, 5])
 @pytest.mark.parametrize("mode", ["dgrad", "full"])
-def test_int8_backward_matches_independent_oracle(mode):
+def test_int8_backward_matches_independent_oracle(mode, ksize):
     """'dgrad'/'full' gradients are bit-identical to an independent oracle
     (fp linear transposes over the quantized integer operands) — this pins
     the transposed-int8-kernel dgrad conv AND the batch-contracting wgrad
-    dimension numbers to the mathematically-defined adjoints."""
+    dimension numbers to the mathematically-defined adjoints.  ksize=5
+    regression-tests the round-4 VERDICT weak #1 hole: the wgrad's padding
+    must come from the kernel's spatial shape, or a 5x5 'full' step silently
+    returns a (3, 3, C, C)-shaped dk."""
     from differential_equations_resnet_tpu.ops.quantize import (
         euler_relu_step_int8,
     )
 
-    y, k, b, cot = _step_operands()
+    y, k, b, cot = _step_operands(ksize=ksize)
     h = 0.125
     # Forward is backward-mode independent.
     np.testing.assert_array_equal(
@@ -628,15 +683,16 @@ def test_int8_backward_matches_independent_oracle(mode):
         np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_want))
 
 
+@pytest.mark.parametrize("ksize", [3, 5])
 @pytest.mark.parametrize("mode", ["dgrad", "full"])
-def test_conv_relu_field_int8_backward_matches_oracle(mode):
+def test_conv_relu_field_int8_backward_matches_oracle(mode, ksize):
     """The multi-eval field variant: same adjoints, h absent (dy has no
     identity term — the integrator adds it)."""
     from differential_equations_resnet_tpu.ops.quantize import (
         conv_relu_field_int8,
     )
 
-    y, k, b, cot = _step_operands()
+    y, k, b, cot = _step_operands(ksize=ksize)
     got = jax.grad(
         lambda *a: jnp.vdot(
             conv_relu_field_int8(*a, "per_tensor", mode), cot
@@ -670,6 +726,209 @@ def test_int8_wgrad_taps_matches_conv_form():
     want = np.asarray(_int8_wgrad(yq, gq))
     assert got.shape == (3, 3, 4, 6)
     np.testing.assert_array_equal(got, want)
+    # k x k generalization (round-4 VERDICT weak #1): the 5x5 wgrad output
+    # must be 5x5-shaped and the tap decomposition must still match the
+    # conv form bit for bit.
+    got5 = np.asarray(_int8_wgrad_taps(yq, gq, (5, 5)))
+    want5 = np.asarray(_int8_wgrad(yq, gq, (5, 5)))
+    assert got5.shape == (5, 5, 4, 6)
+    np.testing.assert_array_equal(got5, want5)
+    # The 3x3 result is the center window of the 5x5 one (same correlation,
+    # wider tap support) — a cross-size consistency pin.
+    np.testing.assert_array_equal(want5[1:4, 1:4], want)
+
+
+def test_int8_backward_rejects_even_kernels():
+    """Even spatial kernel extents break the SAME-padding adjoint identity
+    the int8 backward convs rely on — must fail loudly at call time, not
+    silently misgrade (the 'ste' fp backward stays shape-generic)."""
+    from differential_equations_resnet_tpu.ops.quantize import (
+        conv_relu_field_int8,
+        euler_relu_step_int8,
+    )
+
+    c = 4
+    y = jnp.zeros((2, 6, 6, c))
+    k_even = jnp.zeros((4, 4, c, c))
+    b = jnp.zeros((c,))
+    for mode in ("dgrad", "full"):
+        with pytest.raises(ValueError, match="odd spatial kernel extents"):
+            euler_relu_step_int8(y, k_even, b, 0.1, "per_tensor", mode)
+        with pytest.raises(ValueError, match="odd spatial kernel extents"):
+            conv_relu_field_int8(y, k_even, b, "per_tensor", mode)
+    # 'ste' (fp backward via linear_transpose) remains available for even k.
+    out = euler_relu_step_int8(y, k_even, b, 0.1, "per_tensor", "ste")
+    assert out.shape == y.shape
+
+
+# --- conv_int8_same (bare linear int8 conv — the bottleneck training
+# primitive) ----------------------------------------------------------------
+
+
+def _conv_int8_oracle_grads(y, k, b, cot, mode):
+    """Expected (dy, dk, db) of the bare quantized conv's STE backward,
+    computed independently (fp linear transposes over the integer-valued
+    quantized operands; integer-exact in fp32 at these sizes)."""
+    from differential_equations_resnet_tpu.ops.conv import conv2d_same
+    from differential_equations_resnet_tpu.ops.quantize import (
+        quantize_kernel_per_tensor,
+    )
+
+    qp = quantize_kernel_per_tensor(k, b)
+    yq, s_y = quantize_activations_per_tensor(y)
+    kq_f = qp.kernel_q.astype(jnp.float32)
+    s_k = qp.scale[0]
+    db = jnp.sum(cot, axis=(0, 1, 2))
+    if mode == "ste":
+        (dy,) = jax.linear_transpose(lambda yy: conv2d_same(yy, k), y)(cot)
+        (dk,) = jax.linear_transpose(lambda kk: conv2d_same(y, kk), k)(cot)
+        return dy, dk, db
+    g_q, s_g = quantize_activations_per_tensor(cot)
+    g_qf = g_q.astype(jnp.float32)
+    (dy_c,) = jax.linear_transpose(
+        lambda yy: conv2d_same(yy, kq_f), y.astype(jnp.float32)
+    )(g_qf)
+    dy = (dy_c * (s_g * s_k)).astype(cot.dtype)
+    if mode == "dgrad":
+        (dk,) = jax.linear_transpose(lambda kk: conv2d_same(y, kk), k)(cot)
+    else:
+        (dk_i,) = jax.linear_transpose(
+            lambda kk: conv2d_same(yq.astype(jnp.float32), kk),
+            k.astype(jnp.float32),
+        )(g_qf)
+        dk = (dk_i * (s_y * s_g)).astype(k.dtype)
+    return dy, dk, db
+
+
+@pytest.mark.parametrize("ksize", [1, 3])
+@pytest.mark.parametrize("mode", ["ste", "dgrad", "full"])
+def test_conv_int8_same_matches_independent_oracle(mode, ksize):
+    """The bare linear w8a8 conv (no relu — the conv->BN->relu training
+    primitive of the bottleneck family) is bit-identical to independent
+    fp-linear-transpose oracles in all three backward modes, for both of
+    the bottleneck's kernel shapes (1x1 and 3x3)."""
+    from differential_equations_resnet_tpu.ops.quantize import (
+        conv_int8_same,
+        dynamic_int8_conv_same,
+        quantize_kernel_per_tensor,
+    )
+
+    y, k, b, cot = _step_operands(ksize=ksize)
+    # Forward: exactly the serving conv with per-tensor scales.
+    want_fwd = dynamic_int8_conv_same(y, quantize_kernel_per_tensor(k, b))
+    np.testing.assert_array_equal(
+        np.asarray(conv_int8_same(y, k, b, "per_tensor", mode)),
+        np.asarray(want_fwd),
+    )
+    got = jax.grad(
+        lambda *a: jnp.vdot(conv_int8_same(*a, "per_tensor", mode), cot),
+        argnums=(0, 1, 2),
+    )(y, k, b)
+    want = _conv_int8_oracle_grads(y, k, b, cot, mode)
+    for g_got, g_want in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_want))
+
+
+def bottleneck_model(**kwargs):
+    """Tiny-spatial bottleneck with the int8 gate lowered so the test
+    widths qualify (the 256 default is a perf calibration, not numerics)."""
+    from differential_equations_resnet_tpu.models.bottleneck_resnet import (
+        BottleneckResNetConfig,
+        build_resnet,
+    )
+
+    defaults = dict(
+        image_shape=(16, 16, 3),
+        blocks_per_stage=(2, 2),
+        filters_per_block=((16, 16, 32), (16, None, 32)),
+        kernel_type="antisymmetric",
+        num_classes=5,
+        int8_min_mid_channels=16,
+    )
+    defaults.update(kwargs)
+    return build_resnet(BottleneckResNetConfig(**defaults))
+
+
+@pytest.mark.parametrize(
+    "mode",
+    [
+        # 'dgrad' (the measured frontier mode) rides the default stage; the
+        # other two whole-model compiles ride the slow stage — their
+        # numerics are pinned by the op-level conv_int8_same oracles above
+        # (suite wall-time budget, VERDICT r4 item 10).
+        pytest.param("ste", marks=pytest.mark.slow),
+        "dgrad",
+        pytest.param("full", marks=pytest.mark.slow),
+    ],
+)
+def test_bottleneck_int8_model_trains(mode):
+    """int8 training on the bottleneck family (VERDICT r4 item 7): logits
+    close to fp on the same params, all grads (incl. the antisymmetric
+    mid-conv's dense-lower packed params) finite and nonzero, and SGD steps
+    reduce the loss.  Covers BOTH mid-conv variants (regular stage 1,
+    antisymmetric stage 2) and the conv->BN->relu backward composition."""
+    import dataclasses
+
+    model = bottleneck_model(int8_forward=True, int8_backward=mode)
+    fp_model = bottleneck_model()
+    assert fp_model.config.int8_forward is False
+    params, state = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (4, 16, 16, 3)) * 50 + 127.5
+    labels = np.arange(4) % 5
+
+    logits8, _ = model.apply(params, state, x, train=True, return_logits=True)
+    logitsf, _ = fp_model.apply(
+        params, state, x, train=True, return_logits=True
+    )
+    rel = float(
+        jnp.linalg.norm(logits8 - logitsf) / jnp.linalg.norm(logitsf)
+    )
+    assert 0 < rel < 0.15, rel  # quantized (different) but close
+
+    def loss_fn(p):
+        logits, new_s = model.apply(
+            p, state, x, train=True, return_logits=True
+        )
+        one_hot = jax.nn.one_hot(labels, 5)
+        return -jnp.mean(
+            jnp.sum(one_hot * jax.nn.log_softmax(logits), axis=-1)
+        )
+
+    loss0, grads = jax.value_and_grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # The antisymmetric mid-conv (stage 2) must receive gradient through
+    # the materialize->int8 composition.
+    g_mid = grads["stages"][1]["identity_blocks"]["conv2"]
+    assert float(jnp.max(jnp.abs(g_mid.cross))) > 0
+
+    p = params
+    for _ in range(5):
+        g = jax.grad(loss_fn)(p)
+        p = jax.tree_util.tree_map(lambda w, gw: w - 0.01 * gw, p, g)
+    assert float(loss_fn(p)) < float(loss0)
+
+
+def test_bottleneck_int8_gate_and_validation():
+    """Blocks below int8_min_mid_channels must take the fp path exactly
+    (bit-equal logits with the flag on), and the config surface rejects
+    inconsistent int8 knobs like the single-block family's."""
+    from differential_equations_resnet_tpu.models.bottleneck_resnet import (
+        BottleneckResNetConfig,
+    )
+
+    model8 = bottleneck_model(int8_forward=True, int8_min_mid_channels=512)
+    fp = bottleneck_model()
+    params, state = model8.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 3)) * 50
+    out8, _ = model8.apply(params, state, x, train=True, return_logits=True)
+    outf, _ = fp.apply(params, state, x, train=True, return_logits=True)
+    np.testing.assert_array_equal(np.asarray(out8), np.asarray(outf))
+
+    with pytest.raises(ValueError, match="int8_backward"):
+        BottleneckResNetConfig(num_classes=5, int8_backward="bogus")
+    with pytest.raises(ValueError, match="requires int8_forward"):
+        BottleneckResNetConfig(num_classes=5, int8_backward="dgrad")
 
 
 def test_transpose_int8_kernel_antisym_is_negation():
