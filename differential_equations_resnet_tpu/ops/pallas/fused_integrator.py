@@ -66,6 +66,35 @@ def _batch_tile(batch: int, height: int, width: int, channels: int) -> int:
     return tile
 
 
+def _bwd_tile(batch, height, width, channels, num_layers):
+    """The backward kernel's batch tile: start from the forward tile, then
+    halve until the trajectory scratch (L, tile, H, W, C) fits its VMEM
+    budget.  Mosaic pads the minor dimension to the 128-lane width, so the
+    budget uses padded C.  Shared by the backward pallas_call and the
+    eligibility gate so the gate reasons about the tile that will actually
+    be compiled."""
+    padded_c = max(channels, 128)
+    tile = _batch_tile(batch, height, width, channels)
+    while (
+        tile > 1
+        and (num_layers + 6) * tile * height * width * padded_c * 4
+        > _BWD_SCRATCH_BUDGET
+    ):
+        tile //= 2
+    while batch % tile:
+        tile -= 1
+    return tile
+
+
+# Round-3 measured defect (docs/RESULTS.md section 6 "Pallas fused
+# integrator at wide channels" re-check): the backward pallas_call stops
+# compiling past grid=64 — B=128 at the C=64 tile-1 working set crashes the
+# backend's compile helper, while B<=64 compiles and matches XLA gradients.
+# The eligibility gate declines any shape whose backward grid would exceed
+# this, so `use_pallas=True` falls back to the XLA scan instead of crashing.
+_MAX_BWD_GRID = 64
+
+
 def fused_euler_eligible(x: jax.Array, blocks) -> bool:
     """Whether the fused Pallas path supports this (shape, dtype) combo."""
     if x.ndim != 4:
@@ -85,6 +114,11 @@ def fused_euler_eligible(x: jax.Array, blocks) -> bool:
     # spatial extents (64x64) rather than letting Mosaic fail on scoped-VMEM
     # allocation at e.g. 224x224 (a ~26 MB state tile).
     if x.shape[1] * x.shape[2] > 64 * 64:
+        return False
+    batch, height, width = x.shape[0], x.shape[1], x.shape[2]
+    num_layers = blocks.bias.shape[0]
+    tile = _bwd_tile(batch, height, width, channels, num_layers)
+    if batch // tile > _MAX_BWD_GRID:
         return False
     return True
 
@@ -256,18 +290,11 @@ def _euler_bwd_kernel(
 def _fused_euler_dense_bwd_impl(x, kernels, biases, g, h, matmul_dtype):
     batch, height, width, channels = x.shape
     num_layers = kernels.shape[0]
-    # The trajectory scratch (L, tile, H, W, C) dominates VMEM.  Mosaic pads
-    # the minor dimension to the 128-lane width, so budget with padded C.
-    padded_c = max(channels, 128)
-    tile = _batch_tile(batch, height, width, channels)
-    while (
-        tile > 1
-        and (num_layers + 6) * tile * height * width * padded_c * 4
-        > _BWD_SCRATCH_BUDGET
-    ):
-        tile //= 2
-    while batch % tile:
-        tile -= 1
+    # The trajectory scratch (L, tile, H, W, C) dominates VMEM; _bwd_tile
+    # halves the forward tile until it fits (shared with the eligibility
+    # gate, which declines grids past _MAX_BWD_GRID — the measured compile
+    # crash boundary).
+    tile = _bwd_tile(batch, height, width, channels, num_layers)
     grid = (batch // tile,)
 
     kernels_2d = kernels.reshape(num_layers, 9 * channels, channels)

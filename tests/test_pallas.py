@@ -46,6 +46,45 @@ def test_eligibility_gate():
     assert fused_euler_eligible(ok, blocks)
 
 
+def test_eligibility_gate_backward_grid_limit():
+    """The round-3 measured compile crash (docs/RESULTS.md section 6: the
+    backward pallas_call stops compiling past grid=64; B=128 at the C=64
+    64-layer tile-1 working set crashes the backend compile helper) must be
+    DECLINED by the gate so use_pallas=True falls back to the XLA scan —
+    B<=64 at the same config compiled and matched XLA gradients, so it
+    stays eligible."""
+    from differential_equations_resnet_tpu.ops.pallas.fused_integrator import (
+        _bwd_tile,
+    )
+
+    channels, layers = 64, 64
+    keys = jax.random.split(jax.random.key(0), layers)
+    blocks = jax.vmap(lambda k: init_antisym_3x3(k, channels))(keys)
+    blocks = blocks._replace(bias=jnp.zeros((layers, channels)))
+    crash = jnp.zeros((128, 32, 32, channels), jnp.float32)
+    ok = jnp.zeros((64, 32, 32, channels), jnp.float32)
+    # Pin the regime: the trajectory scratch forces tile=1 here, so grid=B.
+    assert _bwd_tile(128, 32, 32, channels, layers) == 1
+    assert not fused_euler_eligible(crash, blocks)
+    assert fused_euler_eligible(ok, blocks)
+
+    # The model-trunk gate (what `use_pallas=True` actually consults at
+    # trace time, single_block_resnet.py) inherits the decline, so the
+    # crash shape silently takes the XLA scan path.
+    from differential_equations_resnet_tpu.models.single_block_resnet import (
+        SingleBlockResNetConfig,
+        _pallas_eligible,
+    )
+
+    cfg = SingleBlockResNetConfig(
+        image_shape=(32, 32, 3), num_stages=2, blocks_per_stage=(layers,),
+        filters_per_block=(channels,), strides=((1, 1),), num_classes=10,
+        use_pallas=True,
+    )
+    assert not _pallas_eligible(cfg, crash, blocks)
+    assert _pallas_eligible(cfg, ok, blocks)
+
+
 def test_forward_matches_xla_scan():
     x, blocks = make_case()
     kernels = dense_from_blocks(blocks)
