@@ -501,31 +501,72 @@ def _warn_fp32_conv_cliff(config, x):
         )
 
 
-def _warn_int8_full_nan_regime(config, x, n_layers):
+def _int8_full_nan_threshold_bytes() -> float:
+    """The advisory boundary, scaled to the executing TPU's HBM when
+    discoverable.  The defect was measured near HBM capacity on a 16 GB
+    v5e: clean at 10.7 GB of residuals, NaN at >= 11.8 GB, i.e. the
+    boundary sits at ~71% of that chip's 15.75 GB usable HBM — so on
+    higher-HBM generations (32/95 GB parts) the same fraction of capacity
+    is used rather than the absolute 11.2 GB (ADVICE r4).  Falls back to
+    the measured 11.2e9 when memory stats are unavailable (incl. the
+    device_platform='tpu' testing escape hatch on CPU hosts)."""
+    try:
+        dev = jax.devices()[0]
+        if dev.platform == "tpu":
+            stats = dev.memory_stats() or {}
+            limit = stats.get("bytes_limit")
+            if limit:
+                return 0.71 * limit
+    except Exception:
+        pass
+    return 11.2e9
+
+
+def _warn_int8_full_nan_regime(config, x, plans):
     """Trace-time advisory for the measured near-HBM-capacity defect
-    (docs/RESULTS.md section 6g): int8_backward='full' WITHOUT remat is
-    validated to ~11 GB of saved int8 residuals per device (160Lx128F
-    b256 = 10.7 GB runs clean at 78.7% of the bf16 peak), but 176L/192L
-    no-remat (>= 11.8 GB) produce a finite first-step loss and NaN from
-    step 2 at any lr — while the remat twin of the same config runs fine
-    and bit-matches 'dgrad'-remat to ~4 digits, exonerating the gradient
-    math and pointing at an XLA lowering/runtime defect near HBM capacity.
-    Advisory only; the fix is `remat=True` (numerically verified)."""
+    (docs/RESULTS.md section 6g, repro: examples/int8_full_nan_repro.py):
+    int8_backward='full' WITHOUT remat is validated to ~11 GB of saved
+    int8 residuals per device (160Lx128F b256 = 10.7 GB runs clean at
+    78.7% of the bf16 peak), but 176L/192L no-remat (>= 11.8 GB) produce
+    a finite first-step loss and NaN from step 2 at any lr — while the
+    remat twin of the same config runs fine and bit-matches 'dgrad'-remat
+    to ~4 digits, exonerating the gradient math and pointing at an XLA
+    lowering/runtime defect near HBM capacity.  Advisory only; the fix is
+    `remat=True` (numerically verified).
+
+    The footprint is accumulated over the WHOLE trunk (every stage's
+    identity stack, spatial dims tracked through pools/strides — ADVICE
+    r4: a multi-stage config can cross the boundary with no single stage
+    doing so), against a threshold scaled to the executing device's HBM.
+    Pipeline parallelism never reaches here (int8_forward excludes
+    pp_mesh at config time), so no pp division is needed.  ``x`` is the
+    trunk input (the stem's output)."""
     if _exec_platform(config) != "tpu" or config.remat:
         return
     if not (config.int8_forward and config.int8_backward == "full"):
         return
     # 'full' saves (int8 y + bool mask) = 2 B per activation element.
-    n, hh, ww, c = x.shape
-    resid_bytes = 2 * n_layers * _per_device(n, config) * hh * ww * c
-    if resid_bytes > 11.2e9:
+    n = _per_device(x.shape[0], config)
+    hh, ww = x.shape[1], x.shape[2]
+    resid_bytes = 0
+    for plan in plans:
+        if plan.pool:
+            hh, ww = hh // 2, ww // 2
+        if plan.has_conv_block:
+            sh, sw = plan.strides
+            hh, ww = -(-hh // sh), -(-ww // sw)
+        resid_bytes += 2 * plan.num_identity * n * hh * ww * plan.filters
+    threshold = _int8_full_nan_threshold_bytes()
+    if resid_bytes > threshold:
         warnings.warn(
             f"int8_backward='full' without remat at ~"
             f"{resid_bytes / 1e9:.1f} GB of saved residuals per device is "
-            "past the measured-clean boundary (~11 GB; docs/RESULTS.md "
-            "section 6g): 176L+/128F/b256 shapes produced NaN from step 2 "
-            "in this regime while their remat twins run correctly.  Pass "
-            "remat=True (CLI --remat) or reduce depth/batch.",
+            f"past the measured-clean boundary (~{threshold / 1e9:.1f} GB "
+            "here, calibrated at ~71% of a 16 GB v5e's HBM; "
+            "docs/RESULTS.md section 6g): 176L+/128F/b256 shapes produced "
+            "NaN from step 2 in this regime while their remat twins run "
+            "correctly.  Pass remat=True (CLI --remat) or reduce "
+            "depth/batch.",
             stacklevel=2,
         )
 
@@ -536,9 +577,6 @@ def _apply_identity_blocks(x, sp, ss, config, train):
     if blocks is None:
         return x, {}
     _warn_fp32_conv_cliff(config, x)
-    _warn_int8_full_nan_regime(
-        config, x, jax.tree.leaves(sp["blocks"])[0].shape[0]
-    )
     if not config.use_batch_norm:
         if config.use_pallas and _pallas_eligible(config, x, blocks):
             from differential_equations_resnet_tpu.ops.pallas import fused_euler_3x3
@@ -823,6 +861,9 @@ def apply_single_block_resnet(
     if config.use_batch_norm:
         x, new_state["stem_bn"] = batch_norm(x, params["stem_bn"], state["stem_bn"], train)
     x = jax.nn.relu(x)
+    # Whole-trunk advisory (sums every stage's residual stack) — once per
+    # trace, on the trunk input.
+    _warn_int8_full_nan_regime(config, x, plans)
 
     for plan, sp, ss in zip(plans, params["stages"], state["stages"]):
         stage_new_ss = {}

@@ -43,6 +43,13 @@ class TrainingHistory:
                     losses.append(float(row[1]))
                     accs.append(float(row[2]))
                     gnorms.append(np.asarray(row[3:], dtype=np.float64))
+            if not gnorms:
+                raise ValueError(
+                    f"{training_history_filepath} has a header but no data "
+                    "rows — the run was interrupted before its first "
+                    "telemetry flush (rows are written every "
+                    "summaries_frequency steps)."
+                )
             self.training_steps = np.asarray(steps)
             self.training_mean_loss = np.asarray(losses)
             self.training_accuracy = np.asarray(accs)

@@ -374,7 +374,9 @@ def test_int8_full_nan_regime_warning():
 
     from differential_equations_resnet_tpu.experiments import imagenet32_config
 
-    def fired(num_layers, **overrides):
+    import dataclasses
+
+    def fired(num_layers, batch=256, **overrides):
         config = imagenet32_config(
             num_layers=num_layers, num_filters=128,
             compute_dtype=jnp.bfloat16, **overrides,
@@ -385,7 +387,7 @@ def test_int8_full_nan_regime_warning():
             _warnings.simplefilter("always")
             jax.eval_shape(
                 lambda p, s, x: model.apply(p, s, x, return_logits=True),
-                params, state, jnp.zeros((256, 32, 32, 3), jnp.float32),
+                params, state, jnp.zeros((batch, 32, 32, 3), jnp.float32),
             )
         return any("measured-clean boundary" in str(w.message) for w in rec)
 
@@ -398,9 +400,36 @@ def test_int8_full_nan_regime_warning():
     assert not fired(176, int8_forward=True, int8_backward="dgrad",
                      device_platform="tpu")
     assert not fired(176, int8_forward=True, int8_backward="full")  # CPU
-    # DP: 176L at global b=2048 over 8 devices = 256/device -> fires.
-    assert fired(176, data_axis_size=8, **full_tpu) is False  # 32/device
-    assert fired(176, **full_tpu)
+    # DP divides the residual footprint by the data axis: 176L at global
+    # b=256 over 8 devices is 32/device (1.5 GB) -> silent; the same mesh
+    # at global b=2048 is 256/device (12 GB) -> fires.
+    assert not fired(176, data_axis_size=8, **full_tpu)
+    assert fired(176, batch=2048, data_axis_size=8, **full_tpu)
+
+    # Multi-stage accumulation (ADVICE r4): two 88L stages are 5.9 GB each
+    # (neither crosses alone) but 11.8 GB together -> the whole-trunk sum
+    # fires, where a per-stage check stayed silent.
+    def fired_cfg(config, batch=256):
+        model = build_single_block_resnet(config)
+        params, state = jax.eval_shape(model.init, jax.random.key(0))
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter("always")
+            jax.eval_shape(
+                lambda p, s, x: model.apply(p, s, x, return_logits=True),
+                params, state, jnp.zeros((batch, 32, 32, 3), jnp.float32),
+            )
+        return any("measured-clean boundary" in str(w.message) for w in rec)
+
+    two_stage = SingleBlockResNetConfig(
+        image_shape=(32, 32, 3), num_stages=3, blocks_per_stage=(88, 88),
+        filters_per_block=(128, 128), strides=((1, 1), (1, 1)),
+        num_classes=1000, compute_dtype=jnp.bfloat16, **full_tpu,
+    )
+    assert fired_cfg(two_stage)
+    one_half = dataclasses.replace(two_stage, blocks_per_stage=(88,),
+                                   filters_per_block=(128,),
+                                   strides=((1, 1),), num_stages=2)
+    assert not fired_cfg(one_half)
 
 
 def test_conv_relu_field_custom_vjp_matches_autodiff():
