@@ -47,6 +47,11 @@ def main() -> int:
                         help="run each batch size in fp32 AND bfloat16 "
                              "compute (same lr), reporting convergence "
                              "deltas across dtypes too")
+    parser.add_argument("--dtypes", default=None,
+                        help="comma-separated compute dtypes for the arms "
+                             "(e.g. 'bfloat16'); overrides --compare-bf16's "
+                             "fp32+bf16 pairing — used by the RESULTS 6g "
+                             "convergence A/B to run bf16-only arms")
     parser.add_argument("--compare-int8", action="store_true",
                         help="additionally run each arm with int8-forward "
                              "training (dynamic-w8a8 forward convs, "
@@ -97,11 +102,16 @@ def main() -> int:
 
     import jax.numpy as jnp
 
+    if args.dtypes:
+        dtypes = tuple(jnp.dtype(d).type for d in args.dtypes.split(","))
+    elif args.compare_bf16:
+        dtypes = (jnp.float32, jnp.bfloat16)
+    else:
+        dtypes = (jnp.float32,)
     arms = [
         (int(b), dtype, int8)
         for b in args.batches.split(",")
-        for dtype in ((jnp.float32, jnp.bfloat16) if args.compare_bf16
-                      else (jnp.float32,))
+        for dtype in dtypes
         for int8 in ((False, True) if args.compare_int8 else (False,))
     ]
     runs = []

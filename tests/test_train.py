@@ -165,6 +165,16 @@ def test_telemetry_chunk_boundary(tmp_path):
     trainer.close()
 
 
+def test_training_history_rejects_header_only_csv(tmp_path):
+    """A training CSV from a run killed before its first telemetry flush
+    has a header but no rows; TrainingHistory must explain that instead of
+    raising numpy's opaque need-at-least-one-array error."""
+    p = tmp_path / "empty_training.csv"
+    p.write_text("global_step mean_loss accuracy conv1_g\n")
+    with pytest.raises(ValueError, match="no data rows"):
+        TrainingHistory(str(p))
+
+
 def test_evaluate_and_predict(tmp_path):
     trainer = make_trainer(tmp_path)
     results = trainer.evaluate(dataset="val", num_steps=2)
