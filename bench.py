@@ -43,7 +43,11 @@ the documented practical single-chip floor (docs/RESULTS.md roofline:
     measured 1.26x over bf16 — 163.9 model TFLOPS, 83% of the bf16 peak,
     round 4 — the single-chip training-throughput frontier);
   - `int8_serving`: the dynamic-w8a8 quantized inference pair at 64Lx128F
-    b=256 (docs/RESULTS.md section 2c; measured 1.68x over bf16, round 4).
+    b=256 (docs/RESULTS.md section 2c; measured 1.68x over bf16, round 4);
+  - `resnet50`: the bottleneck family's rows (VERDICT r4 item 5) — the
+    antisymmetric-mid ResNet-50 CIFAR-scale train steps/s (section 2b) and
+    the 224^2 Caltech-256-scale int8 serving pair (section 2c), async-queued
+    dispatches so the tunnel RTT amortizes out of the short timed regions.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -293,6 +297,7 @@ def main() -> None:
 
     from differential_equations_resnet_tpu.models.quantized import (
         apply_single_block_resnet_quantized,
+        apply_resnet_quantized,
     )
 
     srv_cfg = imagenet32_config(
@@ -326,6 +331,113 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - backend-dependent
         int8_serving = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # ResNet-50 bottleneck-family rows (VERDICT r4 item 5): the family enters
+    # the driver artifact.  (a) CIFAR-scale antisymmetric-mid train steps/s
+    # (docs/RESULTS.md section 2b; the reference's bottleneck family,
+    # models/tfkeras_resnets.py:698-818, could never train antisymmetrically
+    # at speed — its antisymmetric layer cost 23x at CIFAR scale); (b) the
+    # 224^2 Caltech-256-scale int8 serving pair on the antisymmetric-mid
+    # family (section 2c).  All timed regions ASYNC-QUEUE R dispatches
+    # back-to-back and fetch ONE value at the end: a single chain here is
+    # only ~0.1-0.15 s of device work, so per-dispatch sync timing would
+    # fold the ~25-40 ms tunnel RTT into every sample (30-50% error); the
+    # queue amortizes it to ~RTT/R.  Fail-soft: three fresh compiles
+    # (~20+60+45 s cold; the persistent cache makes repeats ~1 s).
+    try:
+        from differential_equations_resnet_tpu.models.bottleneck_resnet import (
+            build_resnet,
+            resnet_preset,
+        )
+        from differential_equations_resnet_tpu.train import create_train_state
+        from differential_equations_resnet_tpu.train.train_step import (
+            make_multi_step,
+        )
+
+        r50_cfg = resnet_preset(
+            "resnet50", num_classes=10, antisymmetric_mid=True,
+            image_shape=(32, 32, 3), compute_dtype=jnp.bfloat16,
+        )
+        r50_model = build_resnet(r50_cfg)
+        r50_state = create_train_state(r50_model, jax.random.key(0), tx)
+        r50_step = make_multi_step(r50_model, tx, donate=True)
+        k50 = 50
+        r50_x = jax.device_put(
+            jax.random.normal(
+                jax.random.key(1), (k50, 32, 32, 32, 3), jnp.float32
+            )
+        )
+        r50_y = jax.device_put(
+            jax.random.randint(jax.random.key(2), (k50, 32), 0, 10)
+        )
+        r50_lrs = jax.device_put(jnp.full((k50,), 1e-3, jnp.float32))
+        # Warmup (compile + cache warm), value-synced.
+        r50_state, r50_m, _ = r50_step(r50_state, r50_x, r50_y, r50_lrs)
+        _ = float(r50_m["loss"][-1])
+        reps = 6
+        t0 = time.perf_counter()
+        for _ in range(reps):  # async-queued; state dependency chains them
+            r50_state, r50_m, _ = r50_step(r50_state, r50_x, r50_y, r50_lrs)
+        r50_loss = float(r50_m["loss"][-1])  # one fetch syncs the whole queue
+        r50_sps = reps * k50 / (time.perf_counter() - t0)
+        assert np.isfinite(r50_loss)
+
+        def r50_serving_img_per_sec(fwd, cfg, batch, chain_k, reps):
+            shape = (chain_k, batch, *cfg.image_shape)
+            xs = jax.device_put(
+                jax.random.normal(jax.random.key(7), shape, jnp.float32)
+            )
+
+            @jax.jit
+            def run(xs):
+                def body(acc, xb):
+                    return acc + jnp.sum(fwd(xb).astype(jnp.float32)), None
+
+                acc, _ = jax.lax.scan(body, 0.0, xs)
+                return acc
+
+            _ = float(run(xs))  # compile + warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                accs = [run(xs) for _ in range(reps)]  # async-queued
+                _ = float(accs[-1])
+                best = min(best, time.perf_counter() - t0)
+            return reps * chain_k * batch / best
+
+        srv224_cfg = resnet_preset(
+            "resnet50", num_classes=257, antisymmetric_mid=True,
+            image_shape=(224, 224, 3), compute_dtype=jnp.bfloat16,
+        )
+        srv224_model = build_resnet(srv224_cfg)
+        srv224_params, srv224_state = srv224_model.init(jax.random.key(0))
+        bf16_224 = r50_serving_img_per_sec(
+            lambda xb: srv224_model.apply(
+                srv224_params, srv224_state, xb, train=False
+            )[0],
+            srv224_cfg, 32, 32, reps=12,
+        )
+        int8_224 = r50_serving_img_per_sec(
+            lambda xb: apply_resnet_quantized(
+                srv224_params, srv224_state, xb, srv224_cfg
+            ),
+            srv224_cfg, 32, 32, reps=12,
+        )
+        resnet50 = {
+            "train_cifar_scale": {
+                "config": "resnet50_antisym_mid_32x32_10c_b32_bf16",
+                "steps_per_sec": round(r50_sps, 1),
+                "img_per_sec": round(r50_sps * 32, 1),
+            },
+            "serving_224": {
+                "config": "resnet50_antisym_mid_224x224_257c_b32_bf16",
+                "bf16_img_per_sec": round(bf16_224, 1),
+                "int8_img_per_sec": round(int8_224, 1),
+                "int8_speedup": round(int8_224 / bf16_224, 2),
+            },
+        }
+    except Exception as e:  # pragma: no cover - backend-dependent
+        resnet50 = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     print(
         json.dumps(
             {
@@ -347,6 +459,7 @@ def main() -> None:
                 "int8_train": int8_train,
                 "int8_train_dgrad": int8_train_dgrad,
                 "int8_serving": int8_serving,
+                "resnet50": resnet50,
             }
         )
     )

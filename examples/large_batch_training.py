@@ -59,12 +59,14 @@ def main() -> int:
                              "convergence A/B for docs/RESULTS.md 6f; pair "
                              "with --num-filters 128 where the speedup "
                              "exists")
-    parser.add_argument("--int8-backward", choices=["ste", "dgrad", "full"],
-                        default="ste",
-                        help="backward mode for the --compare-int8 arms: "
-                             "'dgrad' runs the data-gradient conv in w8a8 "
-                             "too, 'full' both backward convs (int8 saved "
-                             "activations) — docs/RESULTS.md 6g")
+    parser.add_argument("--int8-backward", default="ste",
+                        help="backward mode(s) for the --compare-int8 arms, "
+                             "comma-separated from {ste,dgrad,full}: 'dgrad' "
+                             "runs the data-gradient conv in w8a8 too, "
+                             "'full' both backward convs (int8 saved "
+                             "activations) — docs/RESULTS.md 6g.  A list "
+                             "adds one int8 arm per mode (the 6g three-arm "
+                             "A/B: --int8-backward dgrad,full)")
     args = parser.parse_args()
 
     from differential_equations_resnet_tpu.utils.compile_cache import (
@@ -108,20 +110,25 @@ def main() -> int:
         dtypes = (jnp.float32, jnp.bfloat16)
     else:
         dtypes = (jnp.float32,)
+    int8_modes = args.int8_backward.split(",")
+    for m in int8_modes:
+        if m not in ("ste", "dgrad", "full"):
+            parser.error(f"--int8-backward: unknown mode {m!r}")
     arms = [
         (int(b), dtype, int8)
         for b in args.batches.split(",")
         for dtype in dtypes
-        for int8 in ((False, True) if args.compare_int8 else (False,))
+        for int8 in ((None, *int8_modes) if args.compare_int8 else (None,))
     ]
     runs = []
-    for batch, compute_dtype, int8_forward in arms:
+    for batch, compute_dtype, int8_mode in arms:
+        int8_forward = int8_mode is not None
         lr = args.base_lr * batch / 32.0
         config = cifar10_single_block_config(
             num_layers=args.num_layers, num_filters=args.num_filters,
             compute_dtype=compute_dtype,
             int8_forward=int8_forward,
-            int8_backward=args.int8_backward if int8_forward else "ste",
+            int8_backward=int8_mode if int8_forward else "ste",
         )
         model = build_single_block_resnet(config)
         trainer = Training(
@@ -156,7 +163,7 @@ def main() -> int:
             "accum_steps": args.accum_steps,
             "dtype": jnp.dtype(compute_dtype).name,
             "int8_forward": int8_forward,
-            "int8_backward": args.int8_backward if int8_forward else None,
+            "int8_backward": int8_mode,
             "lr": lr,
             "steps": steps,
             "final_train_loss": history["train"][-1]["mean_loss"],
@@ -181,6 +188,7 @@ def main() -> int:
                 "batch": r["batch"],
                 "dtype": r["dtype"],
                 "int8_forward": r["int8_forward"],
+                "int8_backward": r["int8_backward"],
                 "train_loss_delta": round(
                     r["final_train_loss"] - base["final_train_loss"], 4
                 ),
