@@ -41,7 +41,12 @@ the documented practical single-chip floor (docs/RESULTS.md roofline:
   - `int8_train_dgrad`: the same config with the backward's data-gradient
     conv ALSO in w8a8 against the transposed int8 kernel (section 6g;
     measured 1.26x over bf16 — 163.9 model TFLOPS, 83% of the bf16 peak,
-    round 4 — the single-chip training-throughput frontier);
+    round 4 — the single-chip training-THROUGHPUT frontier; round 5 found
+    the mode diverges at scale, so the row is a kernel measurement, not a
+    training recommendation);
+  - `int8_train_wgrad`: the round-5 CONVERGENT int8-backward mode (int8
+    wgrad conv + int8 saved residuals, noise-free data gradient — 1.02x,
+    the depth-capacity mode);
   - `int8_serving`: the dynamic-w8a8 quantized inference pair at 64Lx128F
     b=256 (docs/RESULTS.md section 2c; measured 1.68x over bf16, round 4);
   - `resnet50`: the bottleneck family's rows (VERDICT r4 item 5) — the
@@ -254,7 +259,11 @@ def main() -> None:
     # conv also runs w8a8, against the transposed int8 kernel (for the
     # antisymmetric trunk exactly -kernel_q) — measured 1.26x over the bf16
     # step (5.52 steps/s, 163.9 model TFLOPS = 83% of the bf16 peak,
-    # round 4), the single-chip training-throughput frontier.
+    # round 4), the single-chip training-THROUGHPUT frontier.  Round-5
+    # caveat: the equal-epoch A/B found 'dgrad' DIVERGES at this scale
+    # (cotangent quantization noise compounds over the reverse scan — 6g);
+    # the row is kept as a kernel-throughput measurement, tagged below,
+    # with 'wgrad' (the convergent mode) carried alongside.
     try:
         int8_train_dgrad = utilization_section(
             128, 128, 256, 12, seed0=300, label_suffix="_int8fwd_dgrad",
@@ -263,8 +272,26 @@ def main() -> None:
         int8_train_dgrad["speedup_vs_bf16"] = round(
             int8_train_dgrad["steps_per_sec"] / mfu_peak["steps_per_sec"], 3
         )
+        int8_train_dgrad["convergence"] = "diverges_at_scale_see_RESULTS_6g"
     except Exception as e:  # pragma: no cover - backend-dependent
         int8_train_dgrad = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # int8 wgrad (round 5, docs/RESULTS.md 6g): the CONVERGENT int8-backward
+    # mode — int8 weight-gradient conv + int8 saved residuals (1 B/element,
+    # ~1.5x deeper no-remat capacity), data gradient in full precision
+    # against the dequantized transposed kernel (zero noise on the
+    # residual-stream path; gradient cosine 1.0000 vs the fp backward at
+    # 64L).  Measured 1.02x over bf16 — a memory mode at bf16-rate.
+    try:
+        int8_train_wgrad = utilization_section(
+            128, 128, 256, 12, seed0=300, label_suffix="_int8fwd_wgrad",
+            int8_forward=True, int8_backward="wgrad",
+        )
+        int8_train_wgrad["speedup_vs_bf16"] = round(
+            int8_train_wgrad["steps_per_sec"] / mfu_peak["steps_per_sec"], 3
+        )
+    except Exception as e:  # pragma: no cover - backend-dependent
+        int8_train_wgrad = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     # int8 dynamic-w8a8 serving (docs/RESULTS.md section 2c): the 64Lx128F
     # b=256 inference pair — bf16 apply vs the quantized forward (measured
@@ -458,6 +485,7 @@ def main() -> None:
                 "mfu_peak": mfu_peak,
                 "int8_train": int8_train,
                 "int8_train_dgrad": int8_train_dgrad,
+                "int8_train_wgrad": int8_train_wgrad,
                 "int8_serving": int8_serving,
                 "resnet50": resnet50,
             }

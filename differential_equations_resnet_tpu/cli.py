@@ -65,13 +65,16 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help="dynamic-w8a8 int8 FORWARD convs in the trunk, "
                         "straight-through-estimator backward (single-block "
                         "family only; wins at C>=128 — docs/RESULTS.md 6f)")
-    p.add_argument("--int8-backward", choices=["ste", "dgrad", "full"],
+    p.add_argument("--int8-backward",
+                   choices=["ste", "dgrad", "wgrad", "full"],
                    default="ste",
-                   help="with --int8-forward: run the backward's data-"
-                        "gradient conv ('dgrad') or both backward convs "
-                        "('full', int8 saved activations — ~1.5x deeper "
-                        "no-remat capacity) in w8a8 too; 'ste' = fp "
-                        "backward (docs/RESULTS.md 6f)")
+                   help="with --int8-forward: 'wgrad' runs the weight-"
+                        "gradient conv in w8a8 with int8 saved activations "
+                        "(~1.5x deeper no-remat capacity; the CONVERGENT "
+                        "int8-backward mode); 'ste' = fp backward; 'dgrad'/"
+                        "'full' also quantize the residual-stream cotangent "
+                        "— measured divergent at depth, experimental/"
+                        "throughput-only (docs/RESULTS.md 6g)")
 
 
 def _build_model(args):

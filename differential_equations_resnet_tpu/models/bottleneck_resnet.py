@@ -80,9 +80,12 @@ class BottleneckResNetConfig:
                                 # int8 backward's transposed-kernel adjoint
                                 # is stride-1 SAME only.
     int8_backward: str = "ste"  # 'ste' (fp adjoints) / 'dgrad' (int8 data-
-                                # gradient conv) / 'full' (+ int8 weight
-                                # gradient, int8 saved residuals) — the same
-                                # modes as the single-block family.
+                                # gradient conv) / 'wgrad' (int8 weight-
+                                # gradient conv, noise-free data gradient —
+                                # the convergent mode) / 'full' (both convs
+                                # int8, int8 saved residuals) — the same
+                                # modes as the single-block family
+                                # (ops/quantize.py conv_int8_same).
     int8_min_mid_channels: int = 256
 
     def __post_init__(self):
@@ -93,15 +96,16 @@ class BottleneckResNetConfig:
             )
         if self.version not in (1, 1.5):
             raise ValueError("Supported values for `version` are 1 and 1.5.")
-        if self.int8_backward not in ("ste", "dgrad", "full"):
+        if self.int8_backward not in ("ste", "dgrad", "wgrad", "full"):
             raise ValueError(
-                f"int8_backward must be 'ste', 'dgrad', or 'full', got "
-                f"{self.int8_backward!r}."
+                f"int8_backward must be 'ste', 'dgrad', 'wgrad', or 'full', "
+                f"got {self.int8_backward!r}."
             )
         if self.int8_backward != "ste" and not self.int8_forward:
             raise ValueError(
-                "int8_backward='dgrad'/'full' requires int8_forward=True "
-                "(the backward quantizes against the forward's int8 kernel)."
+                "int8_backward='dgrad'/'wgrad'/'full' requires "
+                "int8_forward=True (the backward quantizes against the "
+                "forward's int8 kernel)."
             )
 
     @property

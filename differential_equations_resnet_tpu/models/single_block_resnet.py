@@ -133,11 +133,18 @@ class SingleBlockResNetConfig:
                                 # int8 data-gradient conv against the
                                 # transposed int8 kernel (for antisymmetric
                                 # kernels exactly -kernel_q), fp weight
-                                # gradient; 'full' = int8 data+weight
-                                # gradients, saving the forward's int8
-                                # activations as the scan residual
-                                # (1 B/element — ~1.5x deeper no-remat
-                                # capacity than bf16).  ops/quantize.py.
+                                # gradient; 'wgrad' = int8 weight-gradient
+                                # conv + NOISE-FREE dequantized-kernel data
+                                # gradient, int8 saved residuals (the
+                                # convergent int8-backward mode — cotangent
+                                # quantization on the residual-stream path
+                                # compounds over depth and 'dgrad'/'full'
+                                # measurably diverge at 64L: RESULTS 6g r5);
+                                # 'full' = int8 data+weight gradients,
+                                # saving the forward's int8 activations as
+                                # the scan residual (1 B/element — ~1.5x
+                                # deeper no-remat capacity than bf16).
+                                # ops/quantize.py.
     tp_mesh: Any = None         # Mesh: channel-shard the conv trunk over
     tp_axis: str = "model"      # tp_axis (SURVEY.md section 2.3 row 3).
                                 # Packed antisymmetric params stay replicated
@@ -191,15 +198,16 @@ class SingleBlockResNetConfig:
                 "int8_forward requires the plain integrator identity stack: "
                 "use_batch_norm=False, use_pallas=False, pp_mesh=None."
             )
-        if self.int8_backward not in ("ste", "dgrad", "full"):
+        if self.int8_backward not in ("ste", "dgrad", "wgrad", "full"):
             raise ValueError(
-                f"int8_backward must be 'ste', 'dgrad', or 'full', got "
-                f"{self.int8_backward!r}."
+                f"int8_backward must be 'ste', 'dgrad', 'wgrad', or 'full', "
+                f"got {self.int8_backward!r}."
             )
         if self.int8_backward != "ste" and not self.int8_forward:
             raise ValueError(
-                "int8_backward='dgrad'/'full' requires int8_forward=True "
-                "(the backward quantizes against the forward's int8 kernel)."
+                "int8_backward='dgrad'/'wgrad'/'full' requires "
+                "int8_forward=True (the backward quantizes against the "
+                "forward's int8 kernel)."
             )
         if self.kernel_type == "antisymmetric" and self.kernel_size != 3:
             raise ValueError(
@@ -543,9 +551,14 @@ def _warn_int8_full_nan_regime(config, x, plans):
     trunk input (the stem's output)."""
     if _exec_platform(config) != "tpu" or config.remat:
         return
-    if not (config.int8_forward and config.int8_backward == "full"):
+    if not (
+        config.int8_forward and config.int8_backward in ("wgrad", "full")
+    ):
         return
-    # 'full' saves (int8 y + bool mask) = 2 B per activation element.
+    # 'wgrad'/'full' save (int8 y + bool mask) = 2 B per activation element
+    # — the same residual layout, so the advisory covers both (the NaN
+    # boundary itself was measured on 'full'; the defect hypothesis is the
+    # near-capacity int8 residual stack, which 'wgrad' shares).
     n = _per_device(x.shape[0], config)
     hh, ww = x.shape[1], x.shape[2]
     resid_bytes = 0

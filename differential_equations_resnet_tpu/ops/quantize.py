@@ -271,7 +271,7 @@ def _int8_wgrad_taps(y_q, g_q, kernel_hw=(3, 3)):
 # quantize_kernel_per_tensor's docstring and docs/RESULTS.md section 6f.
 
 
-_BACKWARD_MODES = ("ste", "dgrad", "full")
+_BACKWARD_MODES = ("ste", "dgrad", "wgrad", "full")
 
 
 def _check_int8_args(name, kernel, bias, weight_scale, backward):
@@ -294,7 +294,7 @@ def _check_int8_args(name, kernel, bias, weight_scale, backward):
             "per-c_out scales are on its contracting dimension)."
         )
     if backward != "ste":
-        # 'dgrad'/'full' express the backward convs with SAME /
+        # 'dgrad'/'wgrad'/'full' express the backward convs with SAME /
         # symmetric padding, which is the exact adjoint only for odd
         # spatial kernel extents (even-k SAME padding is asymmetric and
         # the transposed-kernel trick breaks).  The fp 'ste' backward is
@@ -302,9 +302,9 @@ def _check_int8_args(name, kernel, bias, weight_scale, backward):
         kh, kw = kernel.shape[-4], kernel.shape[-3]
         if kh % 2 == 0 or kw % 2 == 0:
             raise ValueError(
-                f"{name}: int8 backward modes ('dgrad'/'full') require odd "
-                f"spatial kernel extents, got ({kh}, {kw}); use "
-                "backward='ste' for even kernels."
+                f"{name}: int8 backward modes ('dgrad'/'wgrad'/'full') "
+                f"require odd spatial kernel extents, got ({kh}, {kw}); "
+                "use backward='ste' for even kernels."
             )
 
 
@@ -330,6 +330,15 @@ def euler_relu_step_int8(
         term of dy stays EXACT (``dy = g + h * conv_T(...)``) — the
         quantization noise enters only the h-scaled correction, mirroring
         the forward's noise structure.
+      - 'wgrad': the weight-gradient correlation runs int8 (quantized
+        cotangent x the forward's saved int8 activations — same 1 B/element
+        residual memory win as 'full'), while the DATA gradient stays a
+        full-precision conv against the DEQUANTIZED transposed kernel (the
+        exact adjoint of the int8 forward's effective operator; int8 kernel
+        values are exact in bf16).  The structural point: the wgrad conv's
+        quantization noise lands in dk, a LEAF of the reverse scan, so it
+        cannot compound over depth — the convergent int8-backward mode
+        (section 6g, round 5).
       - 'full': 'dgrad' plus the weight-gradient correlation in int8,
         reusing the forward's quantized activations (y_q, saved as the
         residual: 1 B/element instead of the 2-4 B fp activation — the
@@ -337,6 +346,16 @@ def euler_relu_step_int8(
         quantized cotangent (one quantization feeds both convs).  dk is
         the exact STE gradient of what the forward computed: the forward
         consumed y_q * s_y, and dk correlates exactly that.
+
+    CONVERGENCE (measured, docs/RESULTS.md section 6g round 5): 'dgrad'
+    and 'full' quantize the cotangent on the residual-stream path; the
+    rounding acts as a generic perturbation of the norm-preserving reverse
+    propagator and compounds exp(h*lambda)-style over depth — both modes
+    DIVERGE from the first epoch at 64Lx128F even at lr 1e-3 (gradient
+    norms blow up ~1e24x at 64 layers), scheme-independently (per-sample /
+    rms-clipped scales measured identical).  They are retained as
+    experimental/throughput-measurement modes; use 'wgrad' (or 'ste') for
+    training runs.
 
     ``weight_scale``: 'per_tensor' (default — preserves the antisymmetric
     structure exactly; the stable choice in the training loop) or
@@ -371,16 +390,16 @@ def _int8_preactivation(y, kernel, bias, weight_scale):
 
 def _int8_residuals(backward, y, kernel, z, yq, s_y, qp):
     """Mode-dependent saved residuals (static per trace: ``backward`` is a
-    nondiff argument).  'full' saves the int8 activations instead of the
-    fp ones — that is where the depth-capacity win comes from."""
+    nondiff argument).  'wgrad'/'full' save the int8 activations instead of
+    the fp ones — that is where the depth-capacity win comes from."""
     mask = z > 0
     if backward == "ste":
         return (y, kernel, mask)
     k_scale = qp.scale[..., 0]  # per_tensor: one scale, broadcast to c_out
     if backward == "dgrad":
         return (y, kernel, qp.kernel_q, k_scale, mask)
-    # 'full': no fp activation saved; a 0-d token carries the kernel dtype
-    # so dk can be returned in the primal's dtype.
+    # 'wgrad'/'full': no fp activation saved; a 0-d token carries the kernel
+    # dtype so dk can be returned in the primal's dtype.
     return (yq, s_y, qp.kernel_q, k_scale, mask,
             jnp.zeros((), kernel.dtype))
 
@@ -399,7 +418,22 @@ def _int8_linear_bwd(backward, res, g_z, g_dtype):
         )(g_z)
         return dy_conv, dk, db
     yq, s_y, kq, k_scale, _, ktok = res
-    dy_conv, g_q, s_g = _int8_dgrad(g_z, kq, k_scale, g_dtype)
+    if backward == "wgrad":
+        # dy: FULL-precision cotangent conv against the DEQUANTIZED
+        # transposed kernel (int8 values are exact in bf16/fp32; the scale
+        # multiplies the conv OUTPUT) — the exact adjoint of the int8
+        # forward's effective linear operator, with ZERO quantization noise
+        # on the residual-stream path.  This is the structural point of the
+        # mode: quantizing the cotangent itself ('dgrad'/'full') acts as a
+        # generic perturbation of the norm-preserving reverse propagator
+        # and its noise compounds exp(h*lambda)-style over depth (measured
+        # divergence at 64L — docs/RESULTS.md section 6g round 5), while
+        # the wgrad conv's noise lands in dk, a LEAF of the reverse scan.
+        kT = transpose_int8_kernel(kq).astype(g_z.dtype)
+        dy_conv = (conv2d_same(g_z, kT) * k_scale).astype(g_dtype)
+        g_q, s_g = quantize_activations_per_tensor(g_z)
+    else:  # 'full'
+        dy_conv, g_q, s_g = _int8_dgrad(g_z, kq, k_scale, g_dtype)
     dk = (
         _int8_wgrad(yq, g_q, kq.shape[-4:-2]).astype(jnp.float32)
         * (s_y * s_g)
@@ -450,10 +484,13 @@ def conv_int8_same(
     ``backward`` as in :func:`euler_relu_step_int8`: 'ste' = fp adjoints
     (jax.linear_transpose of the fp conv — quantization differentiated as
     identity), 'dgrad' = int8 data-gradient conv against the transposed
-    int8 kernel, 'full' = + int8 weight-gradient correlation reusing the
-    forward's quantized activations as the saved residual (1 B/element).
-    Odd spatial kernel extents only for 'dgrad'/'full' (1x1 and 3x3 — the
-    bottleneck's convs — both qualify).  No reference counterpart (the
+    int8 kernel, 'wgrad' = int8 weight-gradient conv + noise-free
+    dequantized-kernel data gradient (the convergent mode — see
+    euler_relu_step_int8's convergence note), 'full' = both backward convs
+    int8, reusing the forward's quantized activations as the saved
+    residual (1 B/element).  Odd spatial kernel extents only for the int8
+    backward modes (1x1 and 3x3 — the bottleneck's convs — both qualify).
+    No reference counterpart (the
     reference trains fp32 only); this is the training-side extension of
     the bottleneck serving path measured in docs/RESULTS.md section 2c."""
     _check_int8_args("conv_int8_same", kernel, bias, weight_scale, backward)
@@ -471,7 +508,8 @@ def _conv_int8_same_fwd(y, kernel, bias, weight_scale, backward):
         res = (y, kernel)
     elif backward == "dgrad":
         res = (y, kernel, qp.kernel_q, qp.scale[..., 0])
-    else:  # 'full': int8 residuals; a 0-d token carries the kernel dtype.
+    else:  # 'wgrad'/'full': int8 residuals; a 0-d token carries the
+        # kernel dtype.
         res = (yq, s_y, qp.kernel_q, qp.scale[..., 0],
                jnp.zeros((), kernel.dtype))
     return z, res
@@ -498,7 +536,13 @@ def _conv_int8_same_bwd(weight_scale, backward, res, g):
         )(g)
         return dy, dk, db
     yq, s_y, kq, k_scale, ktok = res
-    dy, g_q, s_g = _int8_dgrad(g, kq, k_scale, g.dtype)
+    if backward == "wgrad":
+        # See _int8_linear_bwd: noise-free dequantized-kernel dy, int8 dk.
+        kT = transpose_int8_kernel(kq).astype(g.dtype)
+        dy = (conv2d_same(g, kT) * k_scale).astype(g.dtype)
+        g_q, s_g = quantize_activations_per_tensor(g)
+    else:  # 'full'
+        dy, g_q, s_g = _int8_dgrad(g, kq, k_scale, g.dtype)
     dk = (
         _int8_wgrad(yq, g_q, kq.shape[-4:-2]).astype(jnp.float32)
         * (s_y * s_g)
@@ -522,7 +566,8 @@ def conv_relu_field_int8(
     the multi-eval integrators (midpoint/rk4).  Bool-mask residual,
     per-tensor weight scales by default; ``backward`` as in
     :func:`euler_relu_step_int8` ('ste' fp backward / 'dgrad' int8 data
-    gradient / 'full' int8 data+weight gradients with int8 residuals)."""
+    gradient / 'wgrad' int8 weight gradient + noise-free data gradient /
+    'full' int8 data+weight gradients with int8 residuals)."""
     _check_int8_args("conv_relu_field_int8", kernel, bias, weight_scale, backward)
     return _conv_relu_field_int8(y, kernel, bias, weight_scale, backward)
 

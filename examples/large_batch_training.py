@@ -112,7 +112,7 @@ def main() -> int:
         dtypes = (jnp.float32,)
     int8_modes = args.int8_backward.split(",")
     for m in int8_modes:
-        if m not in ("ste", "dgrad", "full"):
+        if m not in ("ste", "dgrad", "wgrad", "full"):
             parser.error(f"--int8-backward: unknown mode {m!r}")
     arms = [
         (int(b), dtype, int8)

@@ -399,6 +399,11 @@ def test_int8_full_nan_regime_warning():
     assert not fired(176, remat=True, **full_tpu)  # the documented fix
     assert not fired(176, int8_forward=True, int8_backward="dgrad",
                      device_platform="tpu")
+    # 'wgrad' (round 5) shares 'full''s int8 residual layout -> covered.
+    assert fired(176, int8_forward=True, int8_backward="wgrad",
+                 device_platform="tpu")
+    assert not fired(160, int8_forward=True, int8_backward="wgrad",
+                     device_platform="tpu")
     assert not fired(176, int8_forward=True, int8_backward="full")  # CPU
     # DP divides the residual footprint by the data axis: 176L at global
     # b=256 over 8 devices is 32/device (1.5 GB) -> silent; the same mesh

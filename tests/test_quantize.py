@@ -630,10 +630,18 @@ def _int8_bwd_oracle_grads(y, k, b, h, cot, mode):
     g_q, s_g = quantize_activations_per_tensor(g_z)
     g_qf = g_q.astype(jnp.float32)
     s_k = qp.scale[0]
-    (dy_c,) = jax.linear_transpose(
-        lambda yy: conv2d_same(yy, kq_f), y.astype(jnp.float32)
-    )(g_qf)
-    dy_conv = (dy_c * (s_g * s_k)).astype(cot.dtype)
+    if mode == "wgrad":
+        # Noise-free dy: the FULL-PRECISION masked cotangent against the
+        # integer kernel (exact in fp at these operand sizes), scale after.
+        (dy_c,) = jax.linear_transpose(
+            lambda yy: conv2d_same(yy, kq_f), y.astype(jnp.float32)
+        )(g_z.astype(jnp.float32))
+        dy_conv = (dy_c * s_k).astype(cot.dtype)
+    else:
+        (dy_c,) = jax.linear_transpose(
+            lambda yy: conv2d_same(yy, kq_f), y.astype(jnp.float32)
+        )(g_qf)
+        dy_conv = (dy_c * (s_g * s_k)).astype(cot.dtype)
     if mode == "dgrad":
         (dk,) = jax.linear_transpose(
             lambda kk: conv2d_same(y, kk), k
@@ -651,7 +659,7 @@ def _int8_bwd_oracle_grads(y, k, b, h, cot, mode):
 
 
 @pytest.mark.parametrize("ksize", [3, 5])
-@pytest.mark.parametrize("mode", ["dgrad", "full"])
+@pytest.mark.parametrize("mode", ["dgrad", "wgrad", "full"])
 def test_int8_backward_matches_independent_oracle(mode, ksize):
     """'dgrad'/'full' gradients are bit-identical to an independent oracle
     (fp linear transposes over the quantized integer operands) — this pins
@@ -684,7 +692,7 @@ def test_int8_backward_matches_independent_oracle(mode, ksize):
 
 
 @pytest.mark.parametrize("ksize", [3, 5])
-@pytest.mark.parametrize("mode", ["dgrad", "full"])
+@pytest.mark.parametrize("mode", ["dgrad", "wgrad", "full"])
 def test_conv_relu_field_int8_backward_matches_oracle(mode, ksize):
     """The multi-eval field variant: same adjoints, h absent (dy has no
     identity term — the integrator adds it)."""
@@ -751,7 +759,7 @@ def test_int8_backward_rejects_even_kernels():
     y = jnp.zeros((2, 6, 6, c))
     k_even = jnp.zeros((4, 4, c, c))
     b = jnp.zeros((c,))
-    for mode in ("dgrad", "full"):
+    for mode in ("dgrad", "wgrad", "full"):
         with pytest.raises(ValueError, match="odd spatial kernel extents"):
             euler_relu_step_int8(y, k_even, b, 0.1, "per_tensor", mode)
         with pytest.raises(ValueError, match="odd spatial kernel extents"):
@@ -785,10 +793,18 @@ def _conv_int8_oracle_grads(y, k, b, cot, mode):
         return dy, dk, db
     g_q, s_g = quantize_activations_per_tensor(cot)
     g_qf = g_q.astype(jnp.float32)
-    (dy_c,) = jax.linear_transpose(
-        lambda yy: conv2d_same(yy, kq_f), y.astype(jnp.float32)
-    )(g_qf)
-    dy = (dy_c * (s_g * s_k)).astype(cot.dtype)
+    if mode == "wgrad":
+        # Noise-free dy: full-precision cotangent against the integer
+        # kernel, scale after (exact in fp at these operand sizes).
+        (dy_c,) = jax.linear_transpose(
+            lambda yy: conv2d_same(yy, kq_f), y.astype(jnp.float32)
+        )(cot.astype(jnp.float32))
+        dy = (dy_c * s_k).astype(cot.dtype)
+    else:
+        (dy_c,) = jax.linear_transpose(
+            lambda yy: conv2d_same(yy, kq_f), y.astype(jnp.float32)
+        )(g_qf)
+        dy = (dy_c * (s_g * s_k)).astype(cot.dtype)
     if mode == "dgrad":
         (dk,) = jax.linear_transpose(lambda kk: conv2d_same(y, kk), k)(cot)
     else:
@@ -801,7 +817,7 @@ def _conv_int8_oracle_grads(y, k, b, cot, mode):
 
 
 @pytest.mark.parametrize("ksize", [1, 3])
-@pytest.mark.parametrize("mode", ["ste", "dgrad", "full"])
+@pytest.mark.parametrize("mode", ["ste", "dgrad", "wgrad", "full"])
 def test_conv_int8_same_matches_independent_oracle(mode, ksize):
     """The bare linear w8a8 conv (no relu — the conv->BN->relu training
     primitive of the bottleneck family) is bit-identical to independent
@@ -1071,7 +1087,7 @@ def test_int8_backward_validation():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["dgrad", "full"])
+@pytest.mark.parametrize("mode", ["dgrad", "wgrad", "full"])
 def test_int8_backward_model_trains(mode):
     """Model-level: the int8-backward trunk produces finite, nonzero grads
     and a few SGD steps reduce the loss (slow stage: fresh scan compiles)."""
