@@ -509,6 +509,28 @@ def _warn_fp32_conv_cliff(config, x):
         )
 
 
+def _warn_int8_multi_eval_integrator(config):
+    """Trace-time advisory (same family as the conv-cliff warnings):
+    int8-forward's measured step win is EULER-SPECIFIC.  At 64Lx128F
+    lane-filling widths (docs/RESULTS.md section 6f, round 5): euler
+    1.12x, midpoint 1.03x, rk4 0.99x — the multi-eval integrators already
+    run near the bf16 conv roofline (rk4 measured 80.7% MFU in bf16) and
+    the extra per-eval quantize work cancels the MXU gain.  Advisory
+    only; numerics are identical either way."""
+    if _exec_platform(config) != "tpu" or config.integrator == "euler":
+        return
+    if config.int8_forward:
+        warnings.warn(
+            f"int8_forward with integrator={config.integrator!r}: the "
+            "measured int8 step win is euler-specific (midpoint 1.03x, "
+            "rk4 0.99x vs bf16 at lane-filling widths — docs/RESULTS.md "
+            "section 6f round 5; the multi-eval integrators already run "
+            "near the bf16 conv roofline).  Expect a wash, not the "
+            "euler path's 1.12x.",
+            stacklevel=2,
+        )
+
+
 def _int8_full_nan_threshold_bytes() -> float:
     """The advisory boundary, scaled to the executing TPU's HBM when
     discoverable.  The defect was measured near HBM capacity on a 16 GB
@@ -590,6 +612,7 @@ def _apply_identity_blocks(x, sp, ss, config, train):
     if blocks is None:
         return x, {}
     _warn_fp32_conv_cliff(config, x)
+    _warn_int8_multi_eval_integrator(config)
     if not config.use_batch_norm:
         if config.use_pallas and _pallas_eligible(config, x, blocks):
             from differential_equations_resnet_tpu.ops.pallas import fused_euler_3x3

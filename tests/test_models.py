@@ -365,6 +365,34 @@ def test_b512_conv_degradation_warning():
     assert sum("conv lowering" in m or "conv-lowering" in m for m in msgs) == 1
 
 
+def test_int8_multi_eval_integrator_warning():
+    """int8_forward + midpoint/rk4 fires the euler-specific-win advisory
+    (docs/RESULTS.md 6f round 5: midpoint 1.03x, rk4 0.99x) on TPU only;
+    euler and CPU stay silent."""
+    import warnings as _warnings
+
+    def fired(**overrides):
+        config = SingleBlockResNetConfig(
+            image_shape=(8, 8, 3), num_stages=2, blocks_per_stage=(2,),
+            filters_per_block=(8,), strides=((1, 1),), num_classes=4,
+            use_batch_norm=False, int8_forward=True, **overrides,
+        )
+        model = build_single_block_resnet(config)
+        params, state = jax.eval_shape(model.init, jax.random.key(0))
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter("always")
+            jax.eval_shape(
+                lambda p, s, x: model.apply(p, s, x, return_logits=True),
+                params, state, jnp.zeros((2, 8, 8, 3), jnp.float32),
+            )
+        return any("euler-specific" in str(w.message) for w in rec)
+
+    assert fired(integrator="midpoint", device_platform="tpu")
+    assert fired(integrator="rk4", device_platform="tpu")
+    assert not fired(integrator="euler", device_platform="tpu")
+    assert not fired(integrator="midpoint")  # CPU: silent
+
+
 def test_int8_full_nan_regime_warning():
     """The int8-'full' no-remat near-HBM advisory (docs/RESULTS.md section
     6g: >~11 GB of saved int8 residuals per device measured as NaN-from-
