@@ -573,14 +573,14 @@ def _warn_int8_full_nan_regime(config, x, plans):
     trunk input (the stem's output)."""
     if _exec_platform(config) != "tpu" or config.remat:
         return
-    if not (
-        config.int8_forward and config.int8_backward in ("wgrad", "full")
-    ):
+    if not (config.int8_forward and config.int8_backward == "full"):
         return
-    # 'wgrad'/'full' save (int8 y + bool mask) = 2 B per activation element
-    # — the same residual layout, so the advisory covers both (the NaN
-    # boundary itself was measured on 'full'; the defect hypothesis is the
-    # near-capacity int8 residual stack, which 'wgrad' shares).
+    # 'wgrad' shares 'full''s int8 residual layout but was MEASURED CLEAN
+    # at 192L/12.9 GB no-remat (round 5, examples/int8_full_nan_repro.py
+    # --int8-backward wgrad: losses match the remat twin) — so the defect
+    # needs the backward's int8 data-gradient conv under memory pressure,
+    # not the residual stack alone, and the advisory fires for 'full'
+    # only.  'full' saves (int8 y + bool mask) = 2 B per element.
     n = _per_device(x.shape[0], config)
     hh, ww = x.shape[1], x.shape[2]
     resid_bytes = 0

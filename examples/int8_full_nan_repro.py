@@ -17,13 +17,17 @@ first measured 2026-08-19, re-validated with this script 2026-08-20 —
 128 filters, batch 256, bf16 compute, Adam lr 1e-3, int8_forward=True,
 int8_backward='full'; the JSON output pins the executing toolchain):
 
-  | layers | remat | residual stack | outcome                        |
-  |--------|-------|----------------|--------------------------------|
-  | 160    | no    | 10.7 GB        | clean (4.18 steps/s)           |
-  | 176    | no    | 12.0 GB        | finite step 1, NaN from step 2 |
-  | 192    | no    | 12.9 GB        | finite step 1, NaN from step 2 |
-  | 192    | yes   | (recomputed)   | clean (68.6 -> 21.2 -> 14.2)   |
-  | 192 b64| no    | 4.3 GB         | clean                          |
+  | layers | mode  | remat | residual stack | outcome                        |
+  |--------|-------|-------|----------------|--------------------------------|
+  | 160    | full  | no    | 10.7 GB        | clean (4.18 steps/s)           |
+  | 176    | full  | no    | 12.0 GB        | finite step 1, NaN from step 2 |
+  | 192    | full  | no    | 12.9 GB        | finite step 1, NaN from step 2 |
+  | 192    | full  | yes   | (recomputed)   | clean (68.6 -> 21.2 -> 14.2)   |
+  | 192 b64| full  | no    | 4.3 GB         | clean                          |
+  | 192    | wgrad | no    | 12.9 GB        | clean (r5: losses match the    |
+  |        |       |       |                | remat twin) — the defect needs |
+  |        |       |       |                | the int8 DGRAD conv, not the   |
+  |        |       |       |                | int8 residual stack alone      |
 
 Run (TPU):
   python examples/int8_full_nan_repro.py                    # 192L, NaN expected
@@ -47,6 +51,12 @@ def main() -> int:
     parser.add_argument("--remat", action="store_true",
                         help="rematerialized twin (expected clean at any "
                              "depth that compiles)")
+    parser.add_argument("--int8-backward", default="full",
+                        choices=["dgrad", "wgrad", "full"],
+                        help="backward mode to probe ('wgrad' shares "
+                             "'full''s int8 residual layout, so the same "
+                             "boundary question applies — measured round 5, "
+                             "see the matrix in docs/RESULTS.md 6g)")
     args = parser.parse_args()
 
     import jax
@@ -83,7 +93,7 @@ def main() -> int:
         num_layers=args.num_layers,
         num_filters=args.num_filters,
         int8_forward=True,
-        int8_backward="full",
+        int8_backward=args.int8_backward,
         remat=args.remat,
     )
     model = build_single_block_resnet(config)
@@ -117,7 +127,7 @@ def main() -> int:
 
     print(json.dumps({
         "config": f"{args.num_layers}Lx{args.num_filters}F_b{args.batch}"
-                  f"_int8full_remat={args.remat}",
+                  f"_int8{args.int8_backward}_remat={args.remat}",
         "residual_stack_gb": round(residual_gb, 2),
         "lr": args.lr,
         "losses": [round(l, 4) for l in losses],

@@ -525,12 +525,15 @@ def test_int8_forward_config_validation():
         )
 
 
+@pytest.mark.slow
 def test_int8_full_5x5_centrosymmetric_model_grads():
     """The exact config surface of the round-4 VERDICT weak #1 probe:
     kernel_type='centrosymmetric', kernel_size=5, int8_backward='full'.
     The trunk's kernel gradient must come back (5, 5, ...)-shaped and match
     the fp-conv linear-transpose direction closely (STE noise only) — before
-    the k x k wgrad fix it silently came back (3, 3, ...)-shaped."""
+    the k x k wgrad fix it silently came back (3, 3, ...)-shaped.  Slow
+    stage (an 18 s fresh whole-model compile); the fast stage keeps the
+    bit-exact k=5 wgrad coverage via the ksize-parametrized op oracles."""
     import dataclasses
 
     model = narrow_train_model(
@@ -869,11 +872,14 @@ def bottleneck_model(**kwargs):
     "mode",
     [
         # 'dgrad' (the measured frontier mode) rides the default stage; the
-        # other two whole-model compiles ride the slow stage — their
-        # numerics are pinned by the op-level conv_int8_same oracles above
-        # (suite wall-time budget, VERDICT r4 item 10).
+        # ALL whole-model bottleneck-int8 compiles ride the slow stage
+        # (the 2-stage scan compile alone costs ~90 s on the CPU mesh;
+        # suite wall-time budget, VERDICT r4 item 10).  Their numerics
+        # are pinned in the fast stage by the op-level conv_int8_same
+        # oracles above and the gate/validation tests below.
         pytest.param("ste", marks=pytest.mark.slow),
-        "dgrad",
+        pytest.param("dgrad", marks=pytest.mark.slow),
+        pytest.param("wgrad", marks=pytest.mark.slow),
         pytest.param("full", marks=pytest.mark.slow),
     ],
 )
