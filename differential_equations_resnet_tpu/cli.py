@@ -63,8 +63,9 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                         "(docs/RESULTS.md 6c)")
     p.add_argument("--int8-forward", action="store_true",
                    help="dynamic-w8a8 int8 FORWARD convs in the trunk, "
-                        "straight-through-estimator backward (single-block "
-                        "family only; wins at C>=128 — docs/RESULTS.md 6f)")
+                        "straight-through-estimator backward (both "
+                        "families; single-block wins at C>=128, bottleneck "
+                        "gates on mid width >= 256 — docs/RESULTS.md 6f)")
     p.add_argument("--int8-backward",
                    choices=["ste", "dgrad", "wgrad", "full"],
                    default="ste",
@@ -96,6 +97,8 @@ def _build_model(args):
             version=args.resnet_version,
             gamma=args.gamma,
             compute_dtype=compute_dtype,
+            int8_forward=getattr(args, "int8_forward", False),
+            int8_backward=getattr(args, "int8_backward", "ste"),
         )
         return build_resnet(config)
 

@@ -974,13 +974,18 @@ def test_transpose_int8_kernel_antisym_is_negation():
     )
 
 
+@pytest.mark.slow
 def test_int8_training_data_parallel_matches_single_device():
     """int8-forward training composes with the DP mesh: one step over the
     8-device mesh reproduces single-device numerics for BOTH int8 backward
     modes.  This covers two sharded reductions with no fp analogue: the
     dynamic per-tensor absmax over the sharded batch (a global max XLA must
     all-reduce) and — in 'full' — the wgrad conv whose CONTRACTION is the
-    sharded batch axis (psum'd int8 correlation)."""
+    sharded batch axis (psum'd int8 correlation).  Slow stage (a ~20 s
+    fresh dp-mesh compile; suite wall-time budget): the int8 x dp
+    composition also executes on EVERY driver run via dryrun_multichip's
+    int8-'dgrad'/'wgrad' dp x tp steps, and the tp-parity test below
+    stays in the fast stage."""
     from differential_equations_resnet_tpu.parallel import (
         create_mesh,
         shard_batch,
