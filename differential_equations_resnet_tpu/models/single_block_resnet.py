@@ -138,8 +138,10 @@ class SingleBlockResNetConfig:
                                 # gradient, int8 saved residuals (the
                                 # convergent int8-backward mode — cotangent
                                 # quantization on the residual-stream path
-                                # compounds over depth and 'dgrad'/'full'
-                                # measurably diverge at 64L: RESULTS 6g r5);
+                                # compounds exp(T*lambda)-style and 'dgrad'/
+                                # 'full' measurably diverge at EVERY depth
+                                # tested (8-64L) at lane-filling widths:
+                                # RESULTS 6g r5);
                                 # 'full' = int8 data+weight gradients,
                                 # saving the forward's int8 activations as
                                 # the scan residual (1 B/element — ~1.5x

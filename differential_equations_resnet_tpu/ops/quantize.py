@@ -350,10 +350,12 @@ def euler_relu_step_int8(
     CONVERGENCE (measured, docs/RESULTS.md section 6g round 5): 'dgrad'
     and 'full' quantize the cotangent on the residual-stream path; the
     rounding acts as a generic perturbation of the norm-preserving reverse
-    propagator and compounds exp(h*lambda)-style over depth — both modes
-    DIVERGE from the first epoch at 64Lx128F even at lr 1e-3 (gradient
-    norms blow up ~1e24x at 64 layers), scheme-independently (per-sample /
-    rms-clipped scales measured identical).  They are retained as
+    propagator and compounds exp(h*lambda) per layer — and since h = T/L,
+    the total ~exp(T*lambda) is set by the ODE's final time, not depth:
+    both modes DIVERGE from the first epoch at EVERY depth tested
+    (8/16/32/64L x 128F) even at lr 1e-3 (gradient norms blow up ~1e24x
+    at 64 layers), scheme-independently (per-sample / rms-clipped scales
+    measured identical).  They are retained as
     experimental/throughput-measurement modes; use 'wgrad' (or 'ste') for
     training runs.
 
