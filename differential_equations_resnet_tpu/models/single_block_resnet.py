@@ -533,6 +533,31 @@ def _warn_int8_multi_eval_integrator(config):
         )
 
 
+def _warn_int8_divergent_backward(config, x):
+    """Trace-time advisory: int8_backward='dgrad'/'full' measurably
+    DIVERGES on this architecture at lane-filling widths — at every depth
+    tested (8-64L x 128F), every lr, and every quantizer scheme tried
+    (docs/RESULTS.md section 6g round 5; the reverse-scan cotangent
+    rounding compounds ~exp(T*lambda), governed by the ODE's final time x
+    the kernel's spectral scale, not depth).  Fires at trunk width >= 64
+    on any platform (the mechanism is architectural, not a TPU emitter
+    property); narrow research/test configs stay silent."""
+    if config.int8_backward not in ("dgrad", "full"):
+        return
+    if x.shape[-1] < 64:
+        return
+    warnings.warn(
+        f"int8_backward={config.int8_backward!r} at trunk width "
+        f"C={x.shape[-1]} >= 64: this mode measurably DIVERGES in "
+        "training at lane-filling widths — at every depth tested "
+        "(8-64 layers), every lr, and every cotangent-quantizer scheme "
+        "(docs/RESULTS.md section 6g).  It is retained for kernel "
+        "throughput measurement only; train with int8_backward='wgrad' "
+        "(convergent, same int8 residual memory) or 'ste'.",
+        stacklevel=2,
+    )
+
+
 def _int8_full_nan_threshold_bytes() -> float:
     """The advisory boundary, scaled to the executing TPU's HBM when
     discoverable.  The defect was measured near HBM capacity on a 16 GB
@@ -615,6 +640,7 @@ def _apply_identity_blocks(x, sp, ss, config, train):
         return x, {}
     _warn_fp32_conv_cliff(config, x)
     _warn_int8_multi_eval_integrator(config)
+    _warn_int8_divergent_backward(config, x)
     if not config.use_batch_norm:
         if config.use_pallas and _pallas_eligible(config, x, blocks):
             from differential_equations_resnet_tpu.ops.pallas import fused_euler_3x3

@@ -393,6 +393,36 @@ def test_int8_multi_eval_integrator_warning():
     assert not fired(integrator="midpoint")  # CPU: silent
 
 
+def test_int8_divergent_backward_warning():
+    """'dgrad'/'full' at trunk width >= 64 fire the measured-divergence
+    advisory on ANY platform (architectural mechanism, RESULTS 6g r5);
+    'wgrad'/'ste' and narrow widths stay silent."""
+    import warnings as _warnings
+
+    def fired(num_filters, backward):
+        config = SingleBlockResNetConfig(
+            image_shape=(8, 8, 3), num_stages=2, blocks_per_stage=(2,),
+            filters_per_block=(num_filters,), strides=((1, 1),),
+            num_classes=4, use_batch_norm=False,
+            int8_forward=True, int8_backward=backward,
+        )
+        model = build_single_block_resnet(config)
+        params, state = jax.eval_shape(model.init, jax.random.key(0))
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter("always")
+            jax.eval_shape(
+                lambda p, s, x: model.apply(p, s, x, return_logits=True),
+                params, state, jnp.zeros((2, 8, 8, 3), jnp.float32),
+            )
+        return any("measurably DIVERGES" in str(w.message) for w in rec)
+
+    assert fired(64, "dgrad")
+    assert fired(128, "full")
+    assert not fired(128, "wgrad")
+    assert not fired(128, "ste")
+    assert not fired(8, "dgrad")  # narrow test/research configs: silent
+
+
 def test_int8_full_nan_regime_warning():
     """The int8-'full' no-remat near-HBM advisory (docs/RESULTS.md section
     6g: >~11 GB of saved int8 residuals per device measured as NaN-from-
