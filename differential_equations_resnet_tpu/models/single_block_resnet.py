@@ -558,7 +558,7 @@ def _warn_int8_divergent_backward(config, x):
     )
 
 
-def _int8_full_nan_threshold_bytes() -> float:
+def _int8_full_nan_threshold_bytes(config=None) -> float:
     """The advisory boundary, scaled to the executing TPU's HBM when
     discoverable.  The defect was measured near HBM capacity on a 16 GB
     v5e: clean at 10.7 GB of residuals, NaN at >= 11.8 GB, i.e. the
@@ -566,9 +566,17 @@ def _int8_full_nan_threshold_bytes() -> float:
     higher-HBM generations (32/95 GB parts) the same fraction of capacity
     is used rather than the absolute 11.2 GB (ADVICE r4).  Falls back to
     the measured 11.2e9 when memory stats are unavailable (incl. the
-    device_platform='tpu' testing escape hatch on CPU hosts)."""
+    device_platform='tpu' testing escape hatch on CPU hosts).  When the
+    config carries a mesh, its first device is the one that will execute
+    — `jax.devices()[0]` (the process default) can be a different chip
+    or generation."""
     try:
-        dev = jax.devices()[0]
+        dev = None
+        mesh = getattr(config, "tp_mesh", None) if config is not None else None
+        if mesh is not None:
+            dev = mesh.devices.flat[0]
+        if dev is None:
+            dev = jax.devices()[0]
         if dev.platform == "tpu":
             stats = dev.memory_stats() or {}
             limit = stats.get("bytes_limit")
@@ -609,6 +617,13 @@ def _warn_int8_full_nan_regime(config, x, plans):
     # not the residual stack alone, and the advisory fires for 'full'
     # only.  'full' saves (int8 y + bool mask) = 2 B per element.
     n = _per_device(x.shape[0], config)
+    # Tensor parallelism channel-shards the trunk activations — and thus
+    # the saved int8 residuals — so the per-device footprint divides by
+    # the model-axis size (review r5: without this, int8+tp configs the
+    # dryrun exercises would warn at half their actual per-device bytes).
+    tp = 1
+    if config.tp_mesh is not None:
+        tp = int(dict(config.tp_mesh.shape).get(config.tp_axis, 1))
     hh, ww = x.shape[1], x.shape[2]
     resid_bytes = 0
     for plan in plans:
@@ -618,7 +633,8 @@ def _warn_int8_full_nan_regime(config, x, plans):
             sh, sw = plan.strides
             hh, ww = -(-hh // sh), -(-ww // sw)
         resid_bytes += 2 * plan.num_identity * n * hh * ww * plan.filters
-    threshold = _int8_full_nan_threshold_bytes()
+    resid_bytes //= tp
+    threshold = _int8_full_nan_threshold_bytes(config)
     if resid_bytes > threshold:
         warnings.warn(
             f"int8_backward='full' without remat at ~"

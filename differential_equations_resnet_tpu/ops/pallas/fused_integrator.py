@@ -90,8 +90,10 @@ def _bwd_tile(batch, height, width, channels, num_layers):
 # integrator at wide channels" re-check): the backward pallas_call stops
 # compiling past grid=64 — B=128 at the C=64 tile-1 working set crashes the
 # backend's compile helper, while B<=64 compiles and matches XLA gradients.
-# The eligibility gate declines any shape whose backward grid would exceed
-# this, so `use_pallas=True` falls back to the XLA scan instead of crashing.
+# Past this grid the custom VJP's backward falls back to XLA's gradient of
+# the same math (review r5: the crash is backward-only, so declining the
+# shape wholesale also cost the perfectly-working Pallas FORWARD for
+# large-batch inference).
 _MAX_BWD_GRID = 64
 
 
@@ -115,11 +117,9 @@ def fused_euler_eligible(x: jax.Array, blocks) -> bool:
     # allocation at e.g. 224x224 (a ~26 MB state tile).
     if x.shape[1] * x.shape[2] > 64 * 64:
         return False
-    batch, height, width = x.shape[0], x.shape[1], x.shape[2]
-    num_layers = blocks.bias.shape[0]
-    tile = _bwd_tile(batch, height, width, channels, num_layers)
-    if batch // tile > _MAX_BWD_GRID:
-        return False
+    # No backward-grid check here: shapes whose BACKWARD grid exceeds
+    # _MAX_BWD_GRID keep the Pallas forward and take the XLA-gradient
+    # fallback in `_bwd` (the round-3 compile crash is backward-only).
     return True
 
 
@@ -379,6 +379,18 @@ def _fwd(x, kernels, biases, h, matmul_dtype):
 
 def _bwd(h, matmul_dtype, residuals, g):
     x, kernels, biases = residuals
+    batch, height, width, channels = x.shape
+    tile = _bwd_tile(batch, height, width, channels, kernels.shape[0])
+    if batch // tile > _MAX_BWD_GRID:
+        # The backward pallas_call's measured compile crash past grid=64:
+        # compute the gradient of the SAME math via XLA instead (exact
+        # mathematical adjoint; bit-level may differ from the in-kernel
+        # recompute, as any remat does), keeping the Pallas forward.
+        _, vjp = jax.vjp(
+            lambda a, k, b: reference_euler_dense(a, k, b, h),
+            x, kernels, biases,
+        )
+        return vjp(g)
     gx, gk, gb = _fused_euler_dense_bwd_impl(x, kernels, biases, g, h, matmul_dtype)
     return gx, gk, gb
 

@@ -406,6 +406,36 @@ def _int8_residuals(backward, y, kernel, z, yq, s_y, qp):
             jnp.zeros((), kernel.dtype))
 
 
+def _int8_res_backward(backward, yq, s_y, kq, k_scale, ktok, g_z, g_dtype):
+    """(dy_conv, dk) for the int8-RESIDUAL modes ('wgrad'/'full') — ONE
+    implementation shared by the euler/field steps and the bare conv, so
+    the two surfaces cannot drift apart (review r5).
+
+    'wgrad' dy: FULL-precision cotangent conv against the DEQUANTIZED
+    transposed kernel (int8 values are exact in bf16/fp32; the scale
+    multiplies the conv OUTPUT) — the exact adjoint of the int8 forward's
+    effective linear operator, with ZERO quantization noise on the
+    residual-stream path.  This is the structural point of the mode:
+    quantizing the cotangent itself ('dgrad'/'full') acts as a generic
+    perturbation of the norm-preserving reverse propagator and its noise
+    compounds ~exp(T*lambda) (measured divergence at every depth tested —
+    docs/RESULTS.md section 6g round 5), while the wgrad conv's noise
+    lands in dk, a LEAF of the reverse scan."""
+    from differential_equations_resnet_tpu.ops.conv import conv2d_same
+
+    if backward == "wgrad":
+        kT = transpose_int8_kernel(kq).astype(g_z.dtype)
+        dy_conv = (conv2d_same(g_z, kT) * k_scale).astype(g_dtype)
+        g_q, s_g = quantize_activations_per_tensor(g_z)
+    else:  # 'full'
+        dy_conv, g_q, s_g = _int8_dgrad(g_z, kq, k_scale, g_dtype)
+    dk = (
+        _int8_wgrad(yq, g_q, kq.shape[-4:-2]).astype(jnp.float32)
+        * (s_y * s_g)
+    ).astype(ktok.dtype)
+    return dy_conv, dk
+
+
 def _int8_linear_bwd(backward, res, g_z, g_dtype):
     """(dy_conv, dk, db) shared by the euler step and the field eval —
     everything downstream of the mode-independent ``g_z = mask * (h*) g``."""
@@ -420,26 +450,9 @@ def _int8_linear_bwd(backward, res, g_z, g_dtype):
         )(g_z)
         return dy_conv, dk, db
     yq, s_y, kq, k_scale, _, ktok = res
-    if backward == "wgrad":
-        # dy: FULL-precision cotangent conv against the DEQUANTIZED
-        # transposed kernel (int8 values are exact in bf16/fp32; the scale
-        # multiplies the conv OUTPUT) — the exact adjoint of the int8
-        # forward's effective linear operator, with ZERO quantization noise
-        # on the residual-stream path.  This is the structural point of the
-        # mode: quantizing the cotangent itself ('dgrad'/'full') acts as a
-        # generic perturbation of the norm-preserving reverse propagator
-        # and its noise compounds exp(h*lambda)-style over depth (measured
-        # divergence at 64L — docs/RESULTS.md section 6g round 5), while
-        # the wgrad conv's noise lands in dk, a LEAF of the reverse scan.
-        kT = transpose_int8_kernel(kq).astype(g_z.dtype)
-        dy_conv = (conv2d_same(g_z, kT) * k_scale).astype(g_dtype)
-        g_q, s_g = quantize_activations_per_tensor(g_z)
-    else:  # 'full'
-        dy_conv, g_q, s_g = _int8_dgrad(g_z, kq, k_scale, g_dtype)
-    dk = (
-        _int8_wgrad(yq, g_q, kq.shape[-4:-2]).astype(jnp.float32)
-        * (s_y * s_g)
-    ).astype(ktok.dtype)
+    dy_conv, dk = _int8_res_backward(
+        backward, yq, s_y, kq, k_scale, ktok, g_z, g_dtype
+    )
     return dy_conv, dk, db
 
 
@@ -538,17 +551,9 @@ def _conv_int8_same_bwd(weight_scale, backward, res, g):
         )(g)
         return dy, dk, db
     yq, s_y, kq, k_scale, ktok = res
-    if backward == "wgrad":
-        # See _int8_linear_bwd: noise-free dequantized-kernel dy, int8 dk.
-        kT = transpose_int8_kernel(kq).astype(g.dtype)
-        dy = (conv2d_same(g, kT) * k_scale).astype(g.dtype)
-        g_q, s_g = quantize_activations_per_tensor(g)
-    else:  # 'full'
-        dy, g_q, s_g = _int8_dgrad(g, kq, k_scale, g.dtype)
-    dk = (
-        _int8_wgrad(yq, g_q, kq.shape[-4:-2]).astype(jnp.float32)
-        * (s_y * s_g)
-    ).astype(ktok.dtype)
+    dy, dk = _int8_res_backward(
+        backward, yq, s_y, kq, k_scale, ktok, g, g.dtype
+    )
     return dy, dk, db
 
 

@@ -120,8 +120,12 @@ def main() -> int:
     finite = [bool(np.isfinite(l)) for l in losses]
     if all(finite):
         verdict = "clean"
-    elif finite[0] and not any(finite[1:]):
-        verdict = "finite-step-1-then-NaN"  # the defect's signature
+    elif finite[0]:
+        # The defect's signature: a finite first step, NaN onset later
+        # (measured onset is step 2; report the index so a boundary
+        # config whose onset slips a step is still labeled correctly).
+        onset = finite.index(False) + 1
+        verdict = f"finite-then-NaN-from-step-{onset}"
     else:
         verdict = "NaN-from-step-1"  # NOT the defect — check config/lr
 
@@ -132,8 +136,10 @@ def main() -> int:
         "lr": args.lr,
         "losses": [round(l, 4) for l in losses],
         "verdict": verdict,
-        "expected": ("clean" if args.remat or residual_gb < 11.0
-                     else "finite-step-1-then-NaN (defect regime)"),
+        "expected": ("clean"
+                     if (args.remat or residual_gb < 11.0
+                         or args.int8_backward != "full")
+                     else "finite-then-NaN-from-step-2 (defect regime)"),
         "versions": versions,
     }))
     return 0

@@ -61,12 +61,14 @@ def main() -> int:
                              "exists")
     parser.add_argument("--int8-backward", default="ste",
                         help="backward mode(s) for the --compare-int8 arms, "
-                             "comma-separated from {ste,dgrad,full}: 'dgrad' "
-                             "runs the data-gradient conv in w8a8 too, "
-                             "'full' both backward convs (int8 saved "
-                             "activations) — docs/RESULTS.md 6g.  A list "
-                             "adds one int8 arm per mode (the 6g three-arm "
-                             "A/B: --int8-backward dgrad,full)")
+                             "comma-separated from {ste,dgrad,wgrad,full}: "
+                             "'wgrad' is the convergent production mode "
+                             "(int8 wgrad conv + int8 saved residuals); "
+                             "'dgrad'/'full' quantize the residual-stream "
+                             "cotangent and measurably diverge at "
+                             "lane-filling widths — docs/RESULTS.md 6g.  A "
+                             "list adds one int8 arm per mode (the 6g "
+                             "three-arm A/B: --int8-backward dgrad,full)")
     args = parser.parse_args()
 
     from differential_equations_resnet_tpu.utils.compile_cache import (

@@ -457,6 +457,11 @@ def test_int8_full_nan_regime_warning():
     assert not fired(176, remat=True, **full_tpu)  # the documented fix
     assert not fired(176, int8_forward=True, int8_backward="dgrad",
                      device_platform="tpu")
+    # TP channel-shards the trunk activations and hence the saved int8
+    # residuals: 176L at tp=2 is ~6 GB/device -> silent (review r5).
+    from differential_equations_resnet_tpu.parallel.mesh import create_mesh
+
+    assert not fired(176, tp_mesh=create_mesh((2,), ("model",)), **full_tpu)
     # 'wgrad' shares 'full''s int8 residual layout but was measured CLEAN
     # at 192L/12.9 GB no-remat (round 5) -> the advisory must NOT fire:
     # the defect needs the int8 data-gradient conv, not the stack alone.
